@@ -1,0 +1,97 @@
+"""Benchmark: 256x256 image optimized on the flagship SNES BG workload.
+
+Measures wall-clock for the full pipeline (k-means init + clustering +
+2 full refinement sweeps over all 8x15 slots, candidate-batched) on one
+chip, and reports images/sec. Two sweeps is where the error has plateaued
+on test images (the reference "generally stops improving within a few
+minutes" of its serial loop, README.md:52-54 — which is the baseline:
+~180 s on a desktop CPU, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SECONDS = 180.0  # "a few minutes" (README.md:52-54), lower bound
+
+
+def _test_image(seed: int = 0) -> np.ndarray:
+    """Deterministic natural-ish 256x256 RGBA image (gradients + shapes)."""
+    rng = np.random.default_rng(seed)
+    h = w = 256
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[..., 0] = (128 + 90 * np.sin(x / 17) + 30 * np.cos(y / 31)).clip(0, 255)
+    img[..., 1] = (128 + 80 * np.cos((x + y) / 23)).clip(0, 255)
+    img[..., 2] = (128 + 100 * np.sin(y / 13) * np.cos(x / 41)).clip(0, 255)
+    img[..., 3] = 255
+    blob = rng.integers(0, 256, (8, 8, 3))
+    for _ in range(24):
+        cy, cx = rng.integers(0, h - 32), rng.integers(0, w - 32)
+        img[cy : cy + 32, cx : cx + 32, :3] = (
+            img[cy : cy + 32, cx : cx + 32, :3] // 2
+            + np.kron(blob, np.ones((4, 4, 1), dtype=np.uint8)) // 2
+        )
+    return img
+
+
+def main() -> None:
+    import jax
+
+    from snesimage_tpu.config import QuantConfig
+    from snesimage_tpu.core import pipeline
+    from snesimage_tpu.core.refine import error_of, make_reference_pyramid
+    from snesimage_tpu.core.state import new_state
+
+    config = QuantConfig(
+        subpalette_count=8, subpalette_size=15, max_steps=2, seed=0
+    )
+    img = _test_image()
+
+    # Warm-up: compile everything on a throwaway run (1 slot visit).
+    state = new_state(img, config)
+    state = pipeline.initialize(state, config)
+    state = pipeline.cluster(state, config)
+    refp = make_reference_pyramid(state)
+    from snesimage_tpu.core.refine import refine_slot_random
+
+    res = refine_slot_random(state, config, refp, jax.random.key(0), 0, 0)
+    jax.block_until_ready(res.state.palette_map)
+
+    # Timed: full pipeline, 2 sweeps (240 slot visits, ~15.6k candidate
+    # frame evaluations with full SSIMULACRA2 each).
+    t0 = time.perf_counter()
+    state = new_state(img, config)
+    state = pipeline.initialize(state, config)
+    state = pipeline.cluster(state, config)
+    refp = make_reference_pyramid(state)
+    state, errors = pipeline.optimize(state, config, refp=refp)
+    jax.block_until_ready(state.palette_map)
+    elapsed = time.perf_counter() - t0
+
+    final_error = float(error_of(state, config, refp))
+    images_per_sec = 1.0 / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "256x256_images_per_sec_to_converged_ssimulacra2",
+                "value": round(images_per_sec, 5),
+                "unit": "images/sec (8x15 palettes, 2 full sweeps, 1 chip)",
+                "vs_baseline": round(images_per_sec * REFERENCE_SECONDS, 2),
+                "elapsed_seconds": round(elapsed, 3),
+                "final_error": round(final_error, 4),
+                "step_errors": [round(e, 4) for e in errors],
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

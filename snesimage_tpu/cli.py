@@ -1,0 +1,152 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (src/config.rs:3-31, clap derive):
+two positional filenames, `-c/--subpalette-count`, `-s/--subpalette-size`,
+`-d/--dither`, `--perceptual-palettes`, `--nes` — plus framework
+extensions (steps, seed, convergence, checkpointing, preview) that replace
+the reference's interactive GUI controls (the green/blue buttons and the
+run-forever loop, src/lib.rs:888-1003).
+
+Logging mirrors the reference's fern format `[Y-m-d H:M:S][LEVEL][target]`
+(src/util.rs:3-25).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def setup_logger(level: int = logging.INFO) -> None:
+    handler = logging.StreamHandler(sys.stdout)
+    handler.setFormatter(
+        logging.Formatter(
+            "[%(asctime)s][%(levelname)-5s][%(name)s] %(message)s",
+            datefmt="%Y-%m-%d %H:%M:%S",
+        )
+    )
+    root = logging.getLogger()
+    root.handlers[:] = [handler]
+    root.setLevel(logging.WARNING)
+    logging.getLogger("snesimage_tpu").setLevel(level)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="snesimage-tpu",
+        description="TPU-native SNES image quantizer (snesimage rebuilt on JAX/XLA).",
+    )
+    # Reference-parity arguments (src/config.rs:3-31).
+    p.add_argument("source_filename", help="Image to optimize")
+    p.add_argument("target_filename", help="Output JSON filename")
+    p.add_argument(
+        "-c", "--subpalette-count", type=int, default=1,
+        help="Number of separate subpalettes (default 1)",
+    )
+    p.add_argument(
+        "-s", "--subpalette-size", type=int, default=7,
+        help="Colors per subpalette, excluding transparent (default 7)",
+    )
+    p.add_argument("-d", "--dither", action="store_true", help="Dither the output")
+    p.add_argument(
+        "--perceptual-palettes", action="store_true",
+        help="CIELAB/CIEDE2000 color comparisons",
+    )
+    p.add_argument("--nes", action="store_true", help="Restrict to NES-like colors")
+    # Framework extensions.
+    p.add_argument(
+        "--steps", type=int, default=8,
+        help="Full optimization sweeps (the reference runs forever)",
+    )
+    p.add_argument(
+        "--tol", type=float, default=0.0,
+        help="Stop when a full sweep improves error by less than this",
+    )
+    p.add_argument("--seed", type=int, default=0, help="Random-search seed")
+    p.add_argument(
+        "--trials", type=int, default=64,
+        help="Random candidates per slot visit (reference: 64)",
+    )
+    p.add_argument("--checkpoint", help="Write a resumable .npz checkpoint here")
+    p.add_argument("--resume", help="Resume from a .npz checkpoint")
+    p.add_argument("--preview", help="Write a [source|quantized|palette] PNG here")
+    p.add_argument(
+        "--skip-optimize", action="store_true",
+        help="Write output right after clustering (reference: blue button "
+        "pressed during the Clustering phase)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logger(logging.DEBUG if args.verbose else logging.INFO)
+    log = logging.getLogger("snesimage_tpu")
+
+    # Imports deferred so `--help` stays fast (no JAX init).
+    from snesimage_tpu.config import QuantConfig
+    from snesimage_tpu.core import pipeline
+    from snesimage_tpu.core.refine import make_reference_pyramid
+    from snesimage_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from snesimage_tpu.io.image import check_size, load_rgba
+    from snesimage_tpu.io.json_out import write_json
+
+    try:
+        if args.resume:
+            from snesimage_tpu.core.state import QuantState  # noqa: F401
+
+            state, config, meta = load_checkpoint(args.resume)
+            log.info("Resumed from %s at step %d", args.resume, meta["step"])
+            errors = list(meta["errors"])
+        else:
+            config = QuantConfig(
+                subpalette_count=args.subpalette_count,
+                subpalette_size=args.subpalette_size,
+                dither=args.dither,
+                perceptual_palettes=args.perceptual_palettes,
+                nes=args.nes,
+                seed=args.seed,
+                max_steps=args.steps,
+                converge_tol=args.tol,
+                random_trials=args.trials,
+            )
+            log.info("Using source image: %s", args.source_filename)
+            img = load_rgba(args.source_filename)
+            check_size(img, config.width, config.height)
+            state = pipeline.new_state(img, config)
+            state = pipeline.initialize(state, config)
+            state = pipeline.cluster(state, config)
+            errors = []
+
+        if not args.skip_optimize:
+            refp = make_reference_pyramid(state)
+            state, step_errors = pipeline.optimize(
+                state, config, refp=refp, start_step=len(errors)
+            )
+            errors.extend(step_errors)
+
+        log.info("Writing output to %s", args.target_filename)
+        write_json(args.target_filename, state, config)
+
+        if args.checkpoint:
+            save_checkpoint(
+                args.checkpoint, state, config, errors=errors, step=len(errors)
+            )
+            log.info("Checkpoint written to %s", args.checkpoint)
+        if args.preview:
+            from snesimage_tpu.preview import save_preview
+
+            save_preview(args.preview, state, config)
+            log.info("Preview written to %s", args.preview)
+        return 0
+    except Exception as err:  # reference: log + exit(1) (src/main.rs:16-19)
+        log.error("Error running application: %s", err)
+        if args.verbose:
+            raise
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

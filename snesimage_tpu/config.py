@@ -1,0 +1,58 @@
+"""Run configuration.
+
+Mirrors the reference CLI surface (reference: src/config.rs:3-31) — two
+positional filenames plus `-c/--subpalette-count` (default 1),
+`-s/--subpalette-size` (default 7), `-d/--dither`, `--perceptual-palettes`,
+`--nes` — and adds framework extensions the reference lacks (explicit
+stopping criteria, seeds, checkpointing; the reference optimizes forever,
+README.md:52-54, and has no resume path, TODO.md:38-39).
+
+The config is a frozen (hashable) dataclass so it can be a static argument
+to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    # Reference-parity knobs (src/config.rs:13-30).
+    subpalette_count: int = 1
+    subpalette_size: int = 7
+    dither: bool = False
+    perceptual_palettes: bool = False
+    nes: bool = False
+
+    # Geometry. The reference hardcodes 256x256 (src/lib.rs:29-31) and has
+    # inconsistent indexing for anything else (src/lib.rs:58, 565); here
+    # any multiple-of-8 size works.
+    width: int = 256
+    height: int = 256
+
+    # Framework extensions (not in the reference).
+    seed: int = 0  # jax.random seed for the random candidate search
+    max_steps: int = 8  # full sweeps over all slots; reference runs forever
+    converge_tol: float = 0.0  # stop early when a full sweep improves less
+    random_trials: int = 64  # candidates per random slot visit (ref: 64)
+
+    def __post_init__(self):
+        if self.width % 8 or self.height % 8:
+            raise ValueError("width and height must be multiples of 8")
+        if not 1 <= self.subpalette_count <= 16:
+            raise ValueError("subpalette_count must be in [1, 16]")
+        if not 1 <= self.subpalette_size <= 15:
+            raise ValueError("subpalette_size must be in [1, 15]")
+
+    @property
+    def width_tiles(self) -> int:
+        return self.width // 8
+
+    @property
+    def height_tiles(self) -> int:
+        return self.height // 8
+
+    @property
+    def num_tiles(self) -> int:
+        return self.width_tiles * self.height_tiles

@@ -1,0 +1,206 @@
+"""End-to-end pipeline driver.
+
+The reference's three GUI phases (TileAssignment -> Clustering ->
+Optimization, src/lib.rs:825-830, advanced by green-button clicks at
+src/lib.rs:982-997) become explicit pipeline stages:
+
+  1. `initialize`  — tile->subpalette assignment + flat palette fill +
+                     first remap (reference `initialize_tiles`).
+  2. `cluster`     — per-subpalette pixel k-means + remap (reference
+                     `recalculate_palettes`).
+  3. `optimize`    — the scheduler loop over (subpalette, entry) slots
+                     (reference src/lib.rs:888-933), with explicit
+                     stopping criteria instead of running forever.
+
+The GUI's manual tile reassignment (clicking a tile cycles its subpalette,
+src/lib.rs:1005-1024) is exposed as `reassign_tile`.
+
+Scheduler parity (src/lib.rs:888-932): steps with ``step % 5 < 4`` use the
+random method, the fifth uses the channel sweep; in channel steps each slot
+is visited three times (channels 0,1,2) before advancing. `--nes` always
+uses the NES sweep; the reference's counter quirk that NES-sweeps a slot
+three times during channel steps is coalesced to one sweep here — the NES
+sweep is deterministic and idempotent, so repeats are provable no-ops
+(src/lib.rs:242-284: same 56 evaluations, same argmin).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
+from snesimage_tpu.core.init import assign_tiles, recalculate_palettes
+from snesimage_tpu.core.refine import (
+    error_of,
+    full_remap,
+    make_reference_pyramid,
+    refine_slot_channel,
+    refine_slot_nes,
+    refine_slot_random,
+)
+from snesimage_tpu.core.state import QuantState, new_state
+
+log = logging.getLogger("snesimage_tpu")
+
+
+@dataclasses.dataclass
+class SlotVisit:
+    """One scheduler position: which slot, which method."""
+
+    step: int
+    palette: int
+    index: int
+    method: str  # "random" | "channel" | "nes"
+    channel: int  # only meaningful for "channel"
+
+
+def schedule(config: QuantConfig, max_steps: int) -> Iterator[SlotVisit]:
+    """Reference scheduler order (src/lib.rs:888-932) for `max_steps` full
+    steps. Yields slot visits in the exact reference sequence (with the
+    NES triple-visit quirk coalesced; see module docstring)."""
+    step = 0
+    while step < max_steps:
+        is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        for palette in range(config.subpalette_count):
+            for index in range(config.subpalette_size):
+                if config.nes:
+                    yield SlotVisit(step, palette, index, "nes", 0)
+                elif is_random:
+                    yield SlotVisit(step, palette, index, "random", 0)
+                else:
+                    for channel in range(3):
+                        yield SlotVisit(step, palette, index, "channel", channel)
+        step += 1
+
+
+def initialize(state: QuantState, config: QuantConfig) -> QuantState:
+    """Stage 1: tile assignment + initial palettes + remap
+    (reference `initialize_tiles`, src/lib.rs:79-189)."""
+    if config.subpalette_count == 1:
+        state = recalculate_palettes(state, config)
+    else:
+        state = assign_tiles(state, config)
+    return full_remap(state, config)
+
+
+def cluster(state: QuantState, config: QuantConfig) -> QuantState:
+    """Stage 2: per-subpalette k-means + remap
+    (reference `recalculate_palettes`, src/lib.rs:407-415)."""
+    state = recalculate_palettes(state, config)
+    return full_remap(state, config)
+
+
+def reassign_tile(
+    state: QuantState,
+    config: QuantConfig,
+    tile_x: int,
+    tile_y: int,
+    recluster: bool = True,
+) -> QuantState:
+    """Cycle one tile's subpalette id (GUI click, src/lib.rs:1005-1024)."""
+    tp = state.tile_palettes.at[tile_y, tile_x].set(
+        (state.tile_palettes[tile_y, tile_x] + 1) % config.subpalette_count
+    )
+    state = state._replace(tile_palettes=tp)
+    if recluster:
+        state = cluster(state, config)
+    return state
+
+
+def optimize(
+    state: QuantState,
+    config: QuantConfig,
+    *,
+    refp=None,
+    max_steps: int | None = None,
+    start_step: int = 0,
+    on_slot: Callable[[SlotVisit, float], None] | None = None,
+) -> tuple[QuantState, list[float]]:
+    """Stage 3: the refinement loop.
+
+    Returns (final_state, per-step errors). Stops after `max_steps` full
+    steps or when a full step improves the error by less than
+    `config.converge_tol` (the reference runs indefinitely; README.md:52-54
+    notes it "generally stops improving within a few minutes").
+
+    `start_step` advances the RNG stream on resume — without it a resumed
+    run would re-draw the exact candidate colors it already evaluated and
+    make no progress.
+    """
+    if refp is None:
+        refp = make_reference_pyramid(state)
+    if max_steps is None:
+        max_steps = config.max_steps
+
+    key = jax.random.fold_in(jax.random.key(config.seed), start_step)
+    step_errors: list[float] = []
+    last_step = -1
+    last_error = float("inf")
+
+    for visit in schedule(config, max_steps):
+        if visit.method == "nes":
+            res = refine_slot_nes(state, config, refp, visit.palette, visit.index)
+        elif visit.method == "random":
+            key, sub = jax.random.split(key)
+            res = refine_slot_random(
+                state, config, refp, sub, visit.palette, visit.index
+            )
+        else:
+            res = refine_slot_channel(
+                state, config, refp, visit.palette, visit.index, visit.channel
+            )
+        state = res.state
+        err = float(res.error)
+        if on_slot is not None:
+            on_slot(visit, err)
+
+        if visit.step != last_step:
+            if last_step >= 0:
+                step_errors.append(last_error)
+                log.info("step %d error: %f", last_step, last_error)
+                if (
+                    config.converge_tol > 0
+                    and len(step_errors) >= 2
+                    and step_errors[-2] - step_errors[-1] < config.converge_tol
+                ):
+                    return state, step_errors
+            last_step = visit.step
+        last_error = err
+
+    step_errors.append(last_error)
+    log.info("step %d error: %f", last_step, last_error)
+    return state, step_errors
+
+
+def run(
+    source_rgba: np.ndarray,
+    config: QuantConfig,
+) -> tuple[QuantState, list[float], dict]:
+    """Full pipeline: init -> cluster -> optimize. Returns the final state,
+    the per-step error history, and timing info."""
+    t0 = time.perf_counter()
+    state = new_state(source_rgba, config)
+    state = initialize(state, config)
+    state = cluster(state, config)
+    jax.block_until_ready(state.palette_map)
+    t_init = time.perf_counter() - t0
+
+    refp = make_reference_pyramid(state)
+    t1 = time.perf_counter()
+    state, errors = optimize(state, config, refp=refp)
+    jax.block_until_ready(state.palette_map)
+    t_opt = time.perf_counter() - t1
+
+    final_error = float(error_of(state, config, refp))
+    return state, errors, {
+        "init_seconds": t_init,
+        "optimize_seconds": t_opt,
+        "final_error": final_error,
+    }

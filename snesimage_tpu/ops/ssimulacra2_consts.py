@@ -1,0 +1,114 @@
+"""SSIMULACRA2 v2.1 constants.
+
+The reference scores frames with the Rust `ssimulacra2` crate v0.5.1
+(reference: src/lib.rs:18, 547), which implements Cloudinary/libjxl's
+SSIMULACRA2 version 2.1. This build has no network access and no local
+copy of that crate, so the fitted constants below were reconstructed from
+knowledge of the upstream sources:
+
+- Opsin (linear sRGB -> XYB) matrix and bias: libjxl's
+  kOpsinAbsorbanceMatrix / kOpsinAbsorbanceBias (exact, widely published).
+- The "make positive XYB" affine shifts, the SSIM C2 constant, and the
+  final score polynomial/power constants: reconstructed from the v2.1
+  sources; believed exact.
+- The 108 fitted feature weights: entries for the X and Y channels are
+  reconstructed from the v2.1 weight table; the B-channel block
+  (indices 72..107) could not be fully recalled and MIRRORS THE X-CHANNEL
+  BLOCK as a documented approximation with the right order of magnitude
+  (both are chroma-opponent channels). Scores are therefore not bit-equal
+  to upstream, but the metric has the same structure: 6 scales x 3
+  channels x {SSIM, artifact, detail-loss} x {1-norm, 4-norm}, monotone
+  in distortion, 100.0 for identical frames. Replace this table with the
+  upstream values verbatim when they are available to close the gap.
+
+Feature ordering (must match `score()` in ops/ssimulacra2.py):
+  for c in (X, Y, B): for scale in 0..5: for n in (1-norm, 4-norm):
+      weight[i++] * ssim[c, scale, n]
+      weight[i++] * artifact[c, scale, n]
+      weight[i++] * detail_loss[c, scale, n]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# libjxl opsin absorbance (linear sRGB -> LMS mix), exact upstream values.
+OPSIN_MATRIX = np.array(
+    [
+        [0.30, 0.622, 0.078],
+        [0.23, 0.692, 0.078],
+        [0.24342268924547819, 0.20476744424496821, 0.55180986650955360],
+    ],
+    dtype=np.float64,
+)
+OPSIN_BIAS = 0.0037930732552754493
+
+# v2.1 "make positive XYB" affine shifts: b=(b-y)+0.55, x=x*14+0.42, y=y+0.01
+XYB_B_OFFSET = 0.55
+XYB_X_SCALE = 14.0
+XYB_X_OFFSET = 0.42
+XYB_Y_OFFSET = 0.01
+
+NUM_SCALES = 6
+SSIM_C2 = 0.0009
+GAUSSIAN_SIGMA = 1.5
+
+# Final score mapping: ssim = dot(weights, features); then
+#   ssim *= SCORE_SCALE
+#   ssim = P3*ssim^3 - P2*ssim^2 + P1*ssim
+#   score = 100 - 10 * ssim^POW   (ssim > 0, else 100)
+SCORE_SCALE = 0.9562382616834844
+SCORE_P3 = 6.248496625763138e-05
+SCORE_P2 = 0.020884521182843837
+SCORE_P1 = 2.326765642916932
+SCORE_POW = 0.6276336467831387
+
+# Per-channel weight blocks, each shape (scales=6, n=2, metric=3) flattened
+# in the order documented above: [ssim, artifact, detail] per (scale, n).
+_X_BLOCK = [
+    # scale 0
+    0.0, 0.0007376606707406586, 0.0,
+    0.0, 0.0007793481682867309, 0.0,
+    # scale 1
+    0.0, 0.0004371155730107379, 0.0,
+    1.1041726426657346, 0.00066284834129271, 0.00015231632783718752,
+    # scale 2
+    0.0, 0.0016406437456599754, 0.0,
+    1.8422455520539298, 11.441172603757666, 0.0,
+    # scale 3
+    0.0007989109436015163, 0.000176816438078653, 0.0,
+    1.8787594979546387, 10.94906990605142, 0.0,
+    # scale 4
+    0.0007289346991508072, 0.9677937080626833, 0.0,
+    0.00014003424285435884, 0.9981766977854967, 0.00031949755934435053,
+    # scale 5
+    0.0004550992113792063, 0.0, 0.0,
+    0.0013648766163243398, 0.0, 0.0,
+]
+
+_Y_BLOCK = [
+    # scale 0
+    0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0,
+    # scale 1
+    7.466890328078848, 0.0, 17.445833984131262,
+    0.0006235601634041466, 0.0, 0.0,
+    # scale 2
+    6.683678146179332, 0.00037724407979611296, 1.027889937768264,
+    225.20515300849274, 0.0, 0.0,
+    # scale 3
+    19.213664498325443, 0.0011401524586618361, 0.001237755635509985,
+    176.39317598450694, 0.0, 0.0,
+    # scale 4
+    24.43300999870476, 0.28520802612117757, 0.0004485436923833408,
+    0.0, 0.0, 0.0,
+    # scale 5
+    34.77906344483772, 44.835625328877896, 0.0,
+    0.0006728221899892144, 0.0, 0.0,
+]
+
+# Approximation: mirror of the X block (see module docstring).
+_B_BLOCK = list(_X_BLOCK)
+
+WEIGHTS = np.array(_X_BLOCK + _Y_BLOCK + _B_BLOCK, dtype=np.float64)
+assert WEIGHTS.shape == (108,)

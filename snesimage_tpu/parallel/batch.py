@@ -1,0 +1,172 @@
+"""Multi-image batching and multi-chip scale-out.
+
+The reference is strictly single-image, single-threaded (SURVEY.md §2.5).
+The TPU-native scale-out axis is the *image batch*: every stage of the
+pipeline (k-means init, remap, candidate evaluation, SSIMULACRA2) is
+vmapped over a leading batch axis and sharded over a 1-D device mesh with
+`jax.sharding` — images are embarrassingly parallel, so XLA partitions the
+whole step with zero communication, and the only collective is a `psum`
+for the aggregate error metric (used for logging/convergence). This covers
+BASELINE.json config 5 ("batched 256-image run").
+
+Scheduling note: all images in a batch share the slot schedule (same
+(subpalette, entry) visited together with per-image RNG keys and per-image
+accept decisions), which keeps the computation SPMD across the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.core import refine
+from snesimage_tpu.core.init import assign_tiles, recalculate_palettes
+from snesimage_tpu.core.pipeline import schedule
+from snesimage_tpu.core.state import QuantState
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def make_batched_states(images: np.ndarray, config: QuantConfig) -> QuantState:
+    """Stack B images into one batched state pytree (leading batch axis)."""
+    images = jnp.asarray(images, dtype=jnp.uint8)
+    b = images.shape[0]
+    return QuantState(
+        original=images,
+        tile_palettes=jnp.zeros(
+            (b, config.height_tiles, config.width_tiles), jnp.int32
+        ),
+        palette=jnp.zeros(
+            (b, config.subpalette_count, config.subpalette_size, 3), jnp.int32
+        ),
+        palette_map=jnp.zeros((b, config.height, config.width), jnp.int32),
+    )
+
+
+def shard_states(states: QuantState, mesh: Mesh) -> QuantState:
+    """Place the batched state on the mesh, batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), states)
+
+
+# Batched versions of the pipeline stages: vmap over the state, config
+# static. jit(vmap(...)) lets XLA partition over the sharded batch axis.
+
+
+@partial(jax.jit, static_argnames=("config",))
+def binit(states: QuantState, config: QuantConfig) -> QuantState:
+    if config.subpalette_count == 1:
+        states = jax.vmap(lambda s: recalculate_palettes(s, config))(states)
+    else:
+        states = jax.vmap(lambda s: assign_tiles(s, config))(states)
+    return jax.vmap(lambda s: refine.full_remap(s, config))(states)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bcluster(states: QuantState, config: QuantConfig) -> QuantState:
+    states = jax.vmap(lambda s: recalculate_palettes(s, config))(states)
+    return jax.vmap(lambda s: refine.full_remap(s, config))(states)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def brefp(states: QuantState, config: QuantConfig):
+    return jax.vmap(refine.make_reference_pyramid)(states)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bslot_random(states, config: QuantConfig, refp, keys, p, i):
+    return jax.vmap(
+        lambda s, r, k: refine.refine_slot_random(s, config, r, k, p, i)
+    )(states, refp, keys)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bslot_channel(states, config: QuantConfig, refp, p, i, ch):
+    return jax.vmap(
+        lambda s, r: refine.refine_slot_channel(s, config, r, p, i, ch)
+    )(states, refp)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bslot_nes(states, config: QuantConfig, refp, p, i):
+    return jax.vmap(lambda s, r: refine.refine_slot_nes(s, config, r, p, i))(
+        states, refp
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
+    """Mean error across the (sharded) batch — the one cross-image
+    reduction; XLA lowers it to an all-reduce over the mesh."""
+    errs = jax.vmap(lambda s, r: refine.error_of(s, config, r))(states, refp)
+    return jnp.mean(errs)
+
+
+def batched_optimize(
+    states: QuantState,
+    config: QuantConfig,
+    *,
+    mesh: Mesh | None = None,
+    max_steps: int | None = None,
+) -> tuple[QuantState, list[float]]:
+    """Run the full scheduler over a batch of images in SPMD lockstep."""
+    if mesh is not None:
+        states = shard_states(states, mesh)
+    if max_steps is None:
+        max_steps = config.max_steps
+    b = states.original.shape[0]
+
+    refp = brefp(states, config)
+    key = jax.random.key(config.seed)
+    step_errors: list[float] = []
+    last_step = -1
+
+    for visit in schedule(config, max_steps):
+        if visit.method == "nes":
+            res = bslot_nes(states, config, refp, visit.palette, visit.index)
+        elif visit.method == "random":
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            res = bslot_random(states, config, refp, keys, visit.palette, visit.index)
+        else:
+            res = bslot_channel(
+                states, config, refp, visit.palette, visit.index, visit.channel
+            )
+        states = res.state
+        if visit.step != last_step and last_step >= 0:
+            step_errors.append(float(jnp.mean(res.error)))
+        last_step = visit.step
+
+    step_errors.append(float(bmean_error(states, config, refp)))
+    return states, step_errors
+
+
+def batched_run(
+    images: np.ndarray,
+    config: QuantConfig,
+    *,
+    mesh: Mesh | None = None,
+    max_steps: int | None = None,
+) -> tuple[QuantState, list[float]]:
+    """init -> cluster -> optimize for a batch of images."""
+    states = make_batched_states(images, config)
+    if mesh is not None:
+        states = shard_states(states, mesh)
+    states = binit(states, config)
+    states = bcluster(states, config)
+    return batched_optimize(states, config, mesh=None, max_steps=max_steps)

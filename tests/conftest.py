@@ -1,0 +1,59 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+whole suite (including multi-chip sharding tests) runs anywhere — the JAX
+analogue of a fake backend (SURVEY.md §4)."""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# This container's sitecustomize registers the axon TPU PJRT plugin in
+# every interpreter (when PALLAS_AXON_POOL_IPS is set), and that
+# registration overrides JAX_PLATFORMS=cpu — tests would silently run on
+# the tunneled TPU and hang on tunnel contention. Deregister the factory
+# before any backend is initialized so the suite gets a real CPU backend.
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    _xb._clear_backends()
+    import jax
+
+    # register() pins jax_platforms to "axon" via the config API, which
+    # outranks the env var — pin it back.
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - layout changes across jax versions
+    pass
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def small_image(rng):
+    """64x64 RGBA test image with smooth gradients, blocks, and a
+    transparent region."""
+    h = w = 64
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[..., 0] = (x * 4) % 256
+    img[..., 1] = (y * 4) % 256
+    img[..., 2] = ((x + y) * 2) % 256
+    img[..., 3] = 255
+    img[8:16, 8:16] = (200, 50, 30, 255)
+    img[40:56, 40:56] = (20, 180, 220, 255)
+    img[0:8, 48:64, 3] = 0  # fully transparent tiles
+    img[0:8, 48:64, :3] = 77  # garbage color under transparency
+    return img

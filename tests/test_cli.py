@@ -1,0 +1,61 @@
+"""CLI surface tests (flag parity with src/config.rs + extensions)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from snesimage_tpu.cli import build_parser, main
+
+
+def test_parser_reference_flags():
+    p = build_parser()
+    a = p.parse_args(
+        ["src.png", "out.json", "-c", "8", "-s", "15", "-d",
+         "--perceptual-palettes", "--nes"]
+    )
+    assert a.source_filename == "src.png"
+    assert a.target_filename == "out.json"
+    assert a.subpalette_count == 8
+    assert a.subpalette_size == 15
+    assert a.dither and a.perceptual_palettes and a.nes
+
+
+def test_parser_defaults():
+    a = build_parser().parse_args(["a", "b"])
+    assert a.subpalette_count == 1  # src/config.rs:14
+    assert a.subpalette_size == 7  # src/config.rs:18
+    assert not a.dither and not a.perceptual_palettes and not a.nes
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    src = tmp_path / "src.png"
+    Image.fromarray(img, "RGBA").save(src)
+    out = tmp_path / "out.json"
+    ck = tmp_path / "ck.npz"
+    pv = tmp_path / "prev.png"
+
+    rc = main(
+        [str(src), str(out), "-c", "2", "-s", "3", "--steps", "0",
+         "--skip-optimize", "--checkpoint", str(ck), "--preview", str(pv)]
+    )
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    assert set(doc) == {"palette", "tiles", "tile_palettes"}
+    assert len(doc["tiles"]) == 1024
+    assert ck.exists() and pv.exists()
+
+
+def test_cli_wrong_size_fails(tmp_path, rng):
+    from PIL import Image
+
+    img = rng.integers(0, 256, (64, 64, 4)).astype(np.uint8)
+    src = tmp_path / "small.png"
+    Image.fromarray(img, "RGBA").save(src)
+    rc = main([str(src), str(tmp_path / "out.json")])
+    assert rc == 1

@@ -1,0 +1,83 @@
+"""Tests for the deterministic Lloyd's k-means (ops/kmeans.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from snesimage_tpu.ops.kmeans import lloyd_kmeans
+
+
+def _clustered_data(rng, centers, n_per):
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (n_per, len(c))) for c in centers]
+    ).astype(np.float32)
+    return pts
+
+
+def test_separates_clear_clusters(rng):
+    centers = np.array([[0, 0, 0], [100, 0, 0], [0, 100, 0]], dtype=np.float32)
+    data = _clustered_data(rng, centers, 50)
+    mask = np.ones(len(data), dtype=bool)
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 3)
+    got = np.sort(np.asarray(res.centers), axis=0)
+    want = np.sort(centers, axis=0)
+    np.testing.assert_allclose(got, want, atol=1.0)
+    assert bool(res.converged)
+
+
+def test_deterministic(rng):
+    data = rng.random((200, 3)).astype(np.float32) * 255
+    mask = np.ones(200, dtype=bool)
+    a = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 4)
+    b = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 4)
+    np.testing.assert_array_equal(np.asarray(a.centers), np.asarray(b.centers))
+    np.testing.assert_array_equal(np.asarray(a.assignments), np.asarray(b.assignments))
+
+
+def test_mask_excludes_points(rng):
+    data = np.zeros((100, 3), dtype=np.float32)
+    data[:50] = [10, 10, 10]
+    data[50:] = [1000, 1000, 1000]  # masked out
+    mask = np.arange(100) < 50
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 2)
+    # No center may be pulled toward the masked region.
+    assert np.asarray(res.centers).max() < 100
+
+
+def test_init_order_controls_seeding():
+    """Initial centers are the first k valid points in priority order."""
+    data = np.array([[0.0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], np.float32)
+    mask = np.ones(4, dtype=bool)
+    rev = jnp.asarray([3, 2, 1, 0], dtype=jnp.int32)
+    a = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 2)
+    b = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 2, init_order=rev)
+    # Different seeding order -> different cluster labeling on this data.
+    assert not np.array_equal(np.asarray(a.assignments), np.asarray(b.assignments))
+
+
+def test_init_skips_invalid_points():
+    data = np.array([[500.0, 0, 0], [0, 0, 0], [1, 0, 0], [100, 0, 0]], np.float32)
+    mask = np.array([False, True, True, True])
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 2)
+    # The invalid 500-point must not be a center.
+    assert np.asarray(res.centers).max() <= 100.0
+
+
+def test_assignment_tie_first_cluster_wins():
+    data = np.array([[5.0, 0, 0]], np.float32)
+    mask = np.ones(1, dtype=bool)
+    # Forced single iteration situation: two equidistant centers exist only
+    # transiently; emulate via direct assignment check on the public API:
+    # a single point yields cluster 0 (first minimum).
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 1)
+    assert int(res.assignments[0]) == 0
+
+
+def test_vmapped_over_masks(rng):
+    import jax
+
+    data = rng.random((100, 3)).astype(np.float32)
+    masks = np.stack([np.arange(100) < 60, np.arange(100) >= 40])
+    res = jax.vmap(lambda m: lloyd_kmeans(jnp.asarray(data), m, 3))(
+        jnp.asarray(masks)
+    )
+    assert res.centers.shape == (2, 3, 3)

@@ -1,0 +1,67 @@
+"""Multi-chip batch sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.parallel import batch as pb
+
+
+def _images(rng, b=8, h=64, w=64):
+    imgs = rng.integers(0, 256, (b, h, w, 4)).astype(np.uint8)
+    imgs[..., 3] = 255
+    return imgs
+
+
+def test_mesh_has_8_devices():
+    mesh = pb.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_batched_run_sharded(rng):
+    imgs = _images(rng)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64, height=64,
+                      max_steps=1)
+    mesh = pb.make_mesh()
+    states, errors = pb.batched_run(imgs, cfg, mesh=mesh, max_steps=1)
+    assert states.palette.shape == (8, 2, 3, 3)
+    assert len(errors) == 1
+    assert np.isfinite(errors[0])
+
+
+def test_batched_matches_single(rng):
+    """Sharded batched execution must produce the same result as running
+    each image through the single-image pipeline."""
+    from snesimage_tpu.core import pipeline
+    from snesimage_tpu.core.state import new_state
+
+    imgs = _images(rng, b=2)
+    cfg = QuantConfig(subpalette_count=1, subpalette_size=3, width=64, height=64,
+                      max_steps=1)
+
+    states = pb.make_batched_states(imgs, cfg)
+    states = pb.binit(states, cfg)
+    states = pb.bcluster(states, cfg)
+
+    for b in range(2):
+        st = new_state(imgs[b], cfg)
+        st = pipeline.initialize(st, cfg)
+        st = pipeline.cluster(st, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(states.palette[b]), np.asarray(st.palette)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states.palette_map[b]), np.asarray(st.palette_map)
+        )
+
+
+def test_sharding_actually_partitions(rng):
+    imgs = _images(rng)
+    cfg = QuantConfig(subpalette_count=1, subpalette_size=3, width=64, height=64)
+    mesh = pb.make_mesh()
+    states = pb.make_batched_states(imgs, cfg)
+    states = pb.shard_states(states, mesh)
+    shards = states.original.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 1  # 8 images over 8 devices

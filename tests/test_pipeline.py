@@ -1,0 +1,185 @@
+"""End-to-end pipeline, scheduler-order, checkpoint, JSON and preview
+tests."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.core import pipeline
+from snesimage_tpu.core.refine import error_of, make_reference_pyramid
+from snesimage_tpu.core.state import new_state
+from snesimage_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from snesimage_tpu.io.json_out import state_to_json, state_to_json_obj
+
+
+def _cfg(**kw):
+    base = dict(subpalette_count=2, subpalette_size=4, width=64, height=64,
+                max_steps=1)
+    base.update(kw)
+    return QuantConfig(**base)
+
+
+def test_schedule_matches_reference_order():
+    """Scheduler parity with src/lib.rs:888-932: 4 random steps then one
+    channel step with 3 channel visits per slot."""
+    cfg = _cfg(subpalette_count=2, subpalette_size=2)
+    visits = list(pipeline.schedule(cfg, 6))
+    per_step = {}
+    for v in visits:
+        per_step.setdefault(v.step, []).append(v)
+    for s in range(5):
+        methods = {v.method for v in per_step[s]}
+        if s % 5 < 4:
+            assert methods == {"random"}
+            assert len(per_step[s]) == 4  # C*S slots
+        else:
+            assert methods == {"channel"}
+            assert len(per_step[s]) == 12  # C*S*3 channels
+            chans = [v.channel for v in per_step[s][:3]]
+            assert chans == [0, 1, 2]
+    # slot order: palette-major, then index (src/lib.rs:917-931)
+    slots = [(v.palette, v.index) for v in per_step[0]]
+    assert slots == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_schedule_nes_mode():
+    cfg = _cfg(nes=True)
+    visits = list(pipeline.schedule(cfg, 5))
+    assert {v.method for v in visits} == {"nes"}
+
+
+def test_full_run_improves_error(small_image):
+    cfg = _cfg(max_steps=1)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    refp = make_reference_pyramid(st)
+    before = float(error_of(st, cfg, refp))
+    st2, errors = pipeline.optimize(st, cfg, refp=refp, max_steps=1)
+    assert errors[-1] <= before + 1e-4
+
+
+def test_initialize_assigns_tiles(small_image):
+    cfg = _cfg(subpalette_count=3)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    tp = np.asarray(st.tile_palettes)
+    assert tp.min() >= 0 and tp.max() < 3
+    assert len(np.unique(tp)) > 1  # gradient image should use >1 cluster
+
+
+def test_transparent_tiles_stay_zero(small_image):
+    """Fully transparent tiles are excluded from clustering and keep
+    subpalette 0 (src/lib.rs:118, SURVEY §2.4)."""
+    cfg = _cfg(subpalette_count=3)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    tp = np.asarray(st.tile_palettes)
+    # tiles (0, 6) and (0, 7) are fully transparent in the fixture
+    assert tp[0, 6] == 0 and tp[0, 7] == 0
+
+
+def test_single_subpalette_skips_tile_clustering(small_image):
+    cfg = _cfg(subpalette_count=1)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    assert (np.asarray(st.tile_palettes) == 0).all()
+    # palette was produced by pixel k-means (non-black)
+    assert np.asarray(st.palette).max() > 0
+
+
+def test_reassign_tile_cycles(small_image):
+    cfg = _cfg(subpalette_count=2)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    before = int(st.tile_palettes[3, 3])
+    st2 = pipeline.reassign_tile(st, cfg, 3, 3, recluster=False)
+    assert int(st2.tile_palettes[3, 3]) == (before + 1) % 2
+
+
+def test_checkpoint_round_trip(small_image, tmp_path):
+    cfg = _cfg()
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, st, cfg, errors=[1.5, 1.2], step=2)
+    st2, cfg2, meta = load_checkpoint(path)
+    assert cfg2 == cfg
+    assert meta["errors"] == [1.5, 1.2]
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_json_contract(small_image):
+    cfg = _cfg(subpalette_count=2, subpalette_size=4)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    obj = state_to_json_obj(st, cfg)
+
+    # palette: C*16 entries; slot 0 and slots > sub_size are 0
+    assert len(obj["palette"]) == 2 * 16
+    for pi in range(2):
+        block = obj["palette"][pi * 16 : (pi + 1) * 16]
+        assert block[0] == 0
+        assert all(v == 0 for v in block[5:])
+        assert all(0 <= v < 2**15 for v in block)
+
+    # tiles: T x 64, 1-based entries, 0 = transparent
+    assert len(obj["tiles"]) == 64
+    assert all(len(t) == 64 for t in obj["tiles"])
+    flat = [v for t in obj["tiles"] for v in t]
+    assert min(flat) >= 0 and max(flat) <= 4
+    # transparent tile (tiles index 6 on the first row) is all zero
+    assert all(v == 0 for v in obj["tiles"][6])
+
+    assert len(obj["tile_palettes"]) == 64
+
+    # serialization: compact, alphabetical keys like serde_json
+    s = state_to_json(st, cfg)
+    assert s.startswith('{"palette":[')
+    assert '"tile_palettes":' in s and s.index('"tile_palettes"') < s.index('"tiles"')
+    assert ": " not in s and ", " not in s
+    json.loads(s)  # valid JSON
+
+
+def test_json_tiles_row_major_within_tile(small_image):
+    """Tile pixel order is y-outer, x-inner (src/lib.rs:604-606)."""
+    cfg = _cfg()
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    obj = state_to_json_obj(st, cfg)
+    pm = np.asarray(st.palette_map)
+    alpha = np.asarray(st.original[..., 3])
+    t = obj["tiles"][9]  # tile (1,1): rows 8..16, cols 8..16
+    for y in range(8):
+        for x in range(8):
+            yy, xx = 8 + y, 8 + x
+            want = pm[yy, xx] + 1 if alpha[yy, xx] > 0 else 0
+            assert t[y * 8 + x] == want
+
+
+def test_preview_renders(small_image, tmp_path):
+    from snesimage_tpu.preview import render_preview, save_preview
+
+    cfg = _cfg()
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    img = render_preview(st, cfg)
+    assert img.shape == (64, 64 * 2 + 128, 3)
+    save_preview(str(tmp_path / "p.png"), st, cfg)
+    assert (tmp_path / "p.png").exists()
+
+
+def test_run_wrapper(small_image):
+    cfg = _cfg(max_steps=1)
+    st, errors, info = pipeline.run(small_image, cfg)
+    assert len(errors) == 1
+    assert info["final_error"] == pytest.approx(errors[-1], abs=1e-3)
+    assert info["optimize_seconds"] > 0

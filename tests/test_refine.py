@@ -1,0 +1,132 @@
+"""Tests for the candidate-batched refine loop (core/refine.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.constants import NES_PALETTE_5BIT
+from snesimage_tpu.core import pipeline
+from snesimage_tpu.core.refine import (
+    candidate_errors,
+    error_of,
+    full_remap,
+    make_reference_pyramid,
+    refine_slot_channel,
+    refine_slot_nes,
+    refine_slot_random,
+)
+from snesimage_tpu.core.state import new_state
+
+
+def _prepped(small_image, **kw):
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64, **kw
+    )
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    return st, cfg
+
+
+def test_incremental_matches_full_remap(small_image, rng):
+    """The incremental undithered candidate evaluation must equal scoring a
+    full remap+render with the modified palette."""
+    st, cfg = _prepped(small_image)
+    refp = make_reference_pyramid(st)
+    cands = jnp.asarray(rng.integers(0, 32, (8, 3)), dtype=jnp.int32)
+    p, i = 1, 2
+    fast = np.asarray(candidate_errors(st, cfg, refp, p, i, cands))
+
+    slow = []
+    for c in np.asarray(cands):
+        pal = st.palette.at[p, i].set(jnp.asarray(c))
+        st2 = full_remap(st._replace(palette=pal), cfg)
+        slow.append(float(error_of(st2, cfg, refp)))
+    np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-4)
+
+
+def test_incremental_matches_full_remap_perceptual(small_image, rng):
+    st, cfg = _prepped(small_image, perceptual_palettes=True)
+    refp = make_reference_pyramid(st)
+    cands = jnp.asarray(rng.integers(0, 32, (4, 3)), dtype=jnp.int32)
+    p, i = 0, 1
+    fast = np.asarray(candidate_errors(st, cfg, refp, p, i, cands))
+    slow = []
+    for c in np.asarray(cands):
+        pal = st.palette.at[p, i].set(jnp.asarray(c))
+        st2 = full_remap(st._replace(palette=pal), cfg)
+        slow.append(float(error_of(st2, cfg, refp)))
+    np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-3)
+
+
+def test_random_slot_never_worsens(small_image):
+    st, cfg = _prepped(small_image)
+    refp = make_reference_pyramid(st)
+    base = float(error_of(st, cfg, refp))
+    key = jax.random.key(7)
+    res = refine_slot_random(st, cfg, refp, key, 0, 0)
+    # cross-path tolerance: res.error comes from the batched evaluator,
+    # base from the unbatched one; f32 metric noise between differently
+    # compiled paths is ~0.02 (see ops/ssimulacra2.py precision notes)
+    assert float(res.error) <= base + 0.05
+
+
+def test_channel_slot_never_worsens(small_image):
+    st, cfg = _prepped(small_image)
+    refp = make_reference_pyramid(st)
+    base = float(error_of(st, cfg, refp))
+    for ch in range(3):
+        res = refine_slot_channel(st, cfg, refp, 0, 0, ch)
+        assert float(res.error) <= base + 0.05  # cross-path f32 noise
+        st = res.state
+
+
+def test_channel_keeps_current_when_optimal(small_image):
+    """If the current channel value is already optimal, the entry must not
+    change (strict less-than acceptance, src/lib.rs:294-306)."""
+    st, cfg = _prepped(small_image)
+    refp = make_reference_pyramid(st)
+    res = refine_slot_channel(st, cfg, refp, 0, 0, 0)
+    st2 = res.state
+    res2 = refine_slot_channel(st2, cfg, refp, 0, 0, 0)
+    # second sweep of the same channel: value already optimal -> unchanged
+    np.testing.assert_array_equal(np.asarray(res2.state.palette), np.asarray(st2.palette))
+    assert not bool(res2.changed)
+
+
+def test_nes_always_projects_onto_nes_colors(small_image):
+    st, cfg = _prepped(small_image, nes=True)
+    refp = make_reference_pyramid(st)
+    res = refine_slot_nes(st, cfg, refp, 0, 0)
+    entry = np.asarray(res.state.palette)[0, 0]
+    assert any((entry == n).all() for n in NES_PALETTE_5BIT)
+
+
+def test_nes_replaces_even_when_worse(small_image):
+    """best_error starts at MAX: the entry is always replaced by the best
+    NES color even if the current (non-NES) color scored better
+    (src/lib.rs:250)."""
+    st, cfg = _prepped(small_image, nes=False)  # palette not NES-constrained
+    refp = make_reference_pyramid(st)
+    cfg_nes = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64, nes=True
+    )
+    res = refine_slot_nes(st, cfg_nes, refp, 0, 0)
+    entry = np.asarray(res.state.palette)[0, 0]
+    assert any((entry == n).all() for n in NES_PALETTE_5BIT)
+
+
+def test_dithered_candidate_errors_match_slow_path(small_image, rng):
+    st, cfg = _prepped(small_image, dither=True)
+    st = full_remap(st, cfg)
+    refp = make_reference_pyramid(st)
+    cands = jnp.asarray(rng.integers(0, 32, (3, 3)), dtype=jnp.int32)
+    fast = np.asarray(candidate_errors(st, cfg, refp, 0, 1, cands))
+    slow = []
+    for c in np.asarray(cands):
+        pal = st.palette.at[0, 1].set(jnp.asarray(c))
+        st2 = full_remap(st._replace(palette=pal), cfg)
+        slow.append(float(error_of(st2, cfg, refp)))
+    np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-4)
