@@ -53,15 +53,13 @@ def main() -> None:
     )
     img = _test_image()
 
-    # Warm-up: compile everything on a throwaway run (1 slot visit).
+    # Warm-up: compile everything on a throwaway full run.
     state = new_state(img, config)
     state = pipeline.initialize(state, config)
     state = pipeline.cluster(state, config)
     refp = make_reference_pyramid(state)
-    from snesimage_tpu.core.refine import refine_slot_random
-
-    res = refine_slot_random(state, config, refp, jax.random.key(0), 0, 0)
-    jax.block_until_ready(res.state.palette_map)
+    state, _ = pipeline.optimize(state, config, refp=refp)
+    jax.block_until_ready(state.palette_map)
 
     # Timed: full pipeline, 2 sweeps (240 slot visits, ~15.6k candidate
     # frame evaluations with full SSIMULACRA2 each).

@@ -76,7 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write output right after clustering (reference: blue button "
         "pressed during the Clustering phase)",
     )
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--profile-dir",
+        help="Capture a jax.profiler trace of the optimization into this "
+        "directory (view with XProf/Perfetto)",
+    )
+    p.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="Per-slot logging (reference granularity, src/lib.rs:906-915); "
+        "slower: forces one device round-trip per slot",
+    )
     return p
 
 
@@ -121,10 +130,22 @@ def main(argv: list[str] | None = None) -> int:
             errors = []
 
         if not args.skip_optimize:
+            from snesimage_tpu.utils.profiling import trace
+
+            on_slot = None
+            if args.verbose:
+                def on_slot(visit, err):
+                    log.debug(
+                        "slot (%d, %d) %s error: %f",
+                        visit.palette, visit.index, visit.method, err,
+                    )
+
             refp = make_reference_pyramid(state)
-            state, step_errors = pipeline.optimize(
-                state, config, refp=refp, start_step=len(errors)
-            )
+            with trace(args.profile_dir):
+                state, step_errors = pipeline.optimize(
+                    state, config, refp=refp, start_step=len(errors),
+                    on_slot=on_slot,
+                )
             errors.extend(step_errors)
 
         log.info("Writing output to %s", args.target_filename)

@@ -44,6 +44,9 @@ from snesimage_tpu.core.refine import (
     refine_slot_channel,
     refine_slot_nes,
     refine_slot_random,
+    sweep_channel,
+    sweep_nes,
+    sweep_random,
 )
 from snesimage_tpu.core.state import QuantState, new_state
 
@@ -61,23 +64,26 @@ class SlotVisit:
     channel: int  # only meaningful for "channel"
 
 
+def _step_visits(config: QuantConfig, step: int) -> Iterator[SlotVisit]:
+    """Slot visits of one scheduler step, reference order."""
+    is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+    for palette in range(config.subpalette_count):
+        for index in range(config.subpalette_size):
+            if config.nes:
+                yield SlotVisit(step, palette, index, "nes", 0)
+            elif is_random:
+                yield SlotVisit(step, palette, index, "random", 0)
+            else:
+                for channel in range(3):
+                    yield SlotVisit(step, palette, index, "channel", channel)
+
+
 def schedule(config: QuantConfig, max_steps: int) -> Iterator[SlotVisit]:
     """Reference scheduler order (src/lib.rs:888-932) for `max_steps` full
     steps. Yields slot visits in the exact reference sequence (with the
     NES triple-visit quirk coalesced; see module docstring)."""
-    step = 0
-    while step < max_steps:
-        is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
-        for palette in range(config.subpalette_count):
-            for index in range(config.subpalette_size):
-                if config.nes:
-                    yield SlotVisit(step, palette, index, "nes", 0)
-                elif is_random:
-                    yield SlotVisit(step, palette, index, "random", 0)
-                else:
-                    for channel in range(3):
-                        yield SlotVisit(step, palette, index, "channel", channel)
-        step += 1
+    for step in range(max_steps):
+        yield from _step_visits(config, step)
 
 
 def initialize(state: QuantState, config: QuantConfig) -> QuantState:
@@ -141,41 +147,58 @@ def optimize(
 
     key = jax.random.fold_in(jax.random.key(config.seed), start_step)
     step_errors: list[float] = []
-    last_step = -1
-    last_error = float("inf")
 
-    for visit in schedule(config, max_steps):
-        if visit.method == "nes":
-            res = refine_slot_nes(state, config, refp, visit.palette, visit.index)
-        elif visit.method == "random":
-            key, sub = jax.random.split(key)
-            res = refine_slot_random(
-                state, config, refp, sub, visit.palette, visit.index
-            )
+    for local in range(max_steps):
+        step = start_step + local
+        is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        step_key = None
+        if is_random and not config.nes:
+            key, step_key = jax.random.split(key)
+
+        if on_slot is None:
+            # Fast path: the whole step runs as ONE jitted fori_loop over
+            # all slots (no per-slot host round-trips).
+            if config.nes:
+                res = sweep_nes(state, config, refp)
+            elif is_random:
+                res = sweep_random(state, config, refp, step_key)
+            else:
+                res = sweep_channel(state, config, refp)
+            state = res.state
+            err = float(res.error)
         else:
-            res = refine_slot_channel(
-                state, config, refp, visit.palette, visit.index, visit.channel
-            )
-        state = res.state
-        err = float(res.error)
-        if on_slot is not None:
-            on_slot(visit, err)
+            # Observed path: one dispatch per slot visit so the callback
+            # sees every slot (reference logging granularity,
+            # src/lib.rs:906-915). Key-split order matches the fast path,
+            # so both paths produce bit-identical states.
+            err = float("inf")
+            for visit in _step_visits(config, step):
+                if visit.method == "nes":
+                    res = refine_slot_nes(
+                        state, config, refp, visit.palette, visit.index
+                    )
+                elif visit.method == "random":
+                    step_key, sub = jax.random.split(step_key)
+                    res = refine_slot_random(
+                        state, config, refp, sub, visit.palette, visit.index
+                    )
+                else:
+                    res = refine_slot_channel(
+                        state, config, refp, visit.palette, visit.index, visit.channel
+                    )
+                state = res.state
+                err = float(res.error)
+                on_slot(visit, err)
 
-        if visit.step != last_step:
-            if last_step >= 0:
-                step_errors.append(last_error)
-                log.info("step %d error: %f", last_step, last_error)
-                if (
-                    config.converge_tol > 0
-                    and len(step_errors) >= 2
-                    and step_errors[-2] - step_errors[-1] < config.converge_tol
-                ):
-                    return state, step_errors
-            last_step = visit.step
-        last_error = err
+        step_errors.append(err)
+        log.info("step %d error: %f", step, err)
+        if (
+            config.converge_tol > 0
+            and len(step_errors) >= 2
+            and step_errors[-2] - step_errors[-1] < config.converge_tol
+        ):
+            break
 
-    step_errors.append(last_error)
-    log.info("step %d error: %f", last_step, last_error)
     return state, step_errors
 
 

@@ -204,10 +204,7 @@ def _apply_best(state, config, p, i, color5) -> QuantState:
     return full_remap(state._replace(palette=palette), config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def refine_slot_random(
-    state: QuantState, config: QuantConfig, refp, key, p, i
-) -> SlotResult:
+def _slot_random(state: QuantState, config: QuantConfig, refp, key, p, i) -> SlotResult:
     """64 uniform-random 5-bit candidates; keep the best only if it beats
     the current error (src/lib.rs:191-240).
 
@@ -228,12 +225,11 @@ def refine_slot_random(
     return SlotResult(new_state, jnp.minimum(bmin, base_err), accept)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def refine_slot_channel(
+def _slot_channel(
     state: QuantState, config: QuantConfig, refp, p, i, channel
 ) -> SlotResult:
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
-    Baseline evaluated in-batch (see refine_slot_random)."""
+    Baseline evaluated in-batch (see _slot_random)."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     onehot = (jnp.arange(3) == channel).astype(jnp.int32)
     values = jnp.arange(32, dtype=jnp.int32)
@@ -251,8 +247,7 @@ def refine_slot_channel(
     return SlotResult(new_state, jnp.minimum(bmin, base_err), accept)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def refine_slot_nes(state: QuantState, config: QuantConfig, refp, p, i) -> SlotResult:
+def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i) -> SlotResult:
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
     with the best NES color (best_error starts at MAX, src/lib.rs:242-284)."""
     cand5 = jnp.asarray(NES_PALETTE_5BIT)
@@ -263,3 +258,73 @@ def refine_slot_nes(state: QuantState, config: QuantConfig, refp, p, i) -> SlotR
     changed = jnp.any(color != current)
     new_state = _apply_best(state, config, p, i, color)
     return SlotResult(new_state, errs[bidx], changed)
+
+
+refine_slot_random = partial(jax.jit, static_argnames=("config",))(_slot_random)
+refine_slot_channel = partial(jax.jit, static_argnames=("config",))(_slot_channel)
+refine_slot_nes = partial(jax.jit, static_argnames=("config",))(_slot_nes)
+
+
+# ---------------------------------------------------------------------------
+# On-device full sweeps: one jitted call per scheduler step
+# ---------------------------------------------------------------------------
+#
+# The host-driven loop dispatches one jitted call per slot visit; a full
+# 8x15 sweep is 120 dispatches with a device sync each (the scheduler is
+# sequentially dependent). These fori_loop versions run the whole sweep in
+# one XLA program — the host sees only the final state. Key-split order
+# matches the host loop exactly, so both paths produce identical states.
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sweep_random(state: QuantState, config: QuantConfig, refp, key) -> SlotResult:
+    """One full random step: every (palette, index) slot once
+    (src/lib.rs:888-932, steps with step % 5 < 4)."""
+    s = config.subpalette_size
+
+    def body(k, carry):
+        state, key, _ = carry
+        key, sub = jax.random.split(key)
+        res = _slot_random(state, config, refp, sub, k // s, k % s)
+        return res.state, key, res.error
+
+    n = config.subpalette_count * s
+    state, _, err = jax.lax.fori_loop(
+        0, n, body, (state, key, jnp.float32(jnp.inf))
+    )
+    return SlotResult(state, err, jnp.bool_(True))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sweep_channel(state: QuantState, config: QuantConfig, refp) -> SlotResult:
+    """One full channel step: every slot visited for channels 0,1,2 in
+    sequence (src/lib.rs:917-923)."""
+    s = config.subpalette_size
+
+    def body(k, carry):
+        state, _ = carry
+        p = k // (s * 3)
+        i = (k // 3) % s
+        ch = k % 3
+        res = _slot_channel(state, config, refp, p, i, ch)
+        return res.state, res.error
+
+    n = config.subpalette_count * s * 3
+    state, err = jax.lax.fori_loop(0, n, body, (state, jnp.float32(jnp.inf)))
+    return SlotResult(state, err, jnp.bool_(True))
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sweep_nes(state: QuantState, config: QuantConfig, refp) -> SlotResult:
+    """One full NES step: every slot NES-swept once (the reference's
+    triple-visit counter quirk is coalesced; see core/pipeline.py)."""
+    s = config.subpalette_size
+
+    def body(k, carry):
+        state, _ = carry
+        res = _slot_nes(state, config, refp, k // s, k % s)
+        return res.state, res.error
+
+    n = config.subpalette_count * s
+    state, err = jax.lax.fori_loop(0, n, body, (state, jnp.float32(jnp.inf)))
+    return SlotResult(state, err, jnp.bool_(True))

@@ -83,9 +83,23 @@ def blur(img: jax.Array) -> jax.Array:
     h, w = img.shape[-3], img.shape[-2]
     bh = jnp.asarray(_blur_matrix(h))
     bw = jnp.asarray(_blur_matrix(w))
-    tmp = jnp.einsum("hj,...jwc->...hwc", bh, img, preferred_element_type=jnp.float32)
+    # precision="highest": TPU f32 matmuls default to one-pass bf16
+    # (~6e-4 relative error) which the SSIM variance terms amplify ~100x
+    # through cancellation; the full-precision path is latency-bound at
+    # these sizes and measured to cost nothing extra.
+    tmp = jnp.einsum(
+        "hj,...jwc->...hwc",
+        bh,
+        img,
+        precision="highest",
+        preferred_element_type=jnp.float32,
+    )
     return jnp.einsum(
-        "wk,...hkc->...hwc", bw, tmp, preferred_element_type=jnp.float32
+        "wk,...hkc->...hwc",
+        bw,
+        tmp,
+        precision="highest",
+        preferred_element_type=jnp.float32,
     )
 
 

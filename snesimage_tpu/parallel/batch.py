@@ -26,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from snesimage_tpu.config import QuantConfig
 from snesimage_tpu.core import refine
 from snesimage_tpu.core.init import assign_tiles, recalculate_palettes
-from snesimage_tpu.core.pipeline import schedule
 from snesimage_tpu.core.state import QuantState
 
 BATCH_AXIS = "batch"
@@ -110,6 +109,24 @@ def bslot_nes(states, config: QuantConfig, refp, p, i):
 
 
 @partial(jax.jit, static_argnames=("config",))
+def bsweep_random(states, config: QuantConfig, refp, keys):
+    """One full random step for every image, fully on-device."""
+    return jax.vmap(lambda s, r, k: refine.sweep_random(s, config, r, k))(
+        states, refp, keys
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bsweep_channel(states, config: QuantConfig, refp):
+    return jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(states, refp)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bsweep_nes(states, config: QuantConfig, refp):
+    return jax.vmap(lambda s, r: refine.sweep_nes(s, config, r))(states, refp)
+
+
+@partial(jax.jit, static_argnames=("config",))
 def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
     """Mean error across the (sharded) batch — the one cross-image
     reduction; XLA lowers it to an all-reduce over the mesh."""
@@ -134,25 +151,20 @@ def batched_optimize(
     refp = brefp(states, config)
     key = jax.random.key(config.seed)
     step_errors: list[float] = []
-    last_step = -1
 
-    for visit in schedule(config, max_steps):
-        if visit.method == "nes":
-            res = bslot_nes(states, config, refp, visit.palette, visit.index)
-        elif visit.method == "random":
+    for step in range(max_steps):
+        is_random = step % 5 < 4
+        if config.nes:
+            res = bsweep_nes(states, config, refp)
+        elif is_random:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
-            res = bslot_random(states, config, refp, keys, visit.palette, visit.index)
+            res = bsweep_random(states, config, refp, keys)
         else:
-            res = bslot_channel(
-                states, config, refp, visit.palette, visit.index, visit.channel
-            )
+            res = bsweep_channel(states, config, refp)
         states = res.state
-        if visit.step != last_step and last_step >= 0:
-            step_errors.append(float(jnp.mean(res.error)))
-        last_step = visit.step
+        step_errors.append(float(jnp.mean(res.error)))
 
-    step_errors.append(float(bmean_error(states, config, refp)))
     return states, step_errors
 
 

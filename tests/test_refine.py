@@ -130,3 +130,53 @@ def test_dithered_candidate_errors_match_slow_path(small_image, rng):
         st2 = full_remap(st._replace(palette=pal), cfg)
         slow.append(float(error_of(st2, cfg, refp)))
     np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-4)
+
+
+def test_sweep_matches_per_slot_path(small_image):
+    """The on-device fori_loop sweep must produce bit-identical state to
+    the host-driven per-slot path (same key-split order)."""
+    from snesimage_tpu.core.refine import sweep_random, sweep_channel, sweep_nes
+
+    st, cfg = _prepped(small_image)
+    refp = make_reference_pyramid(st)
+
+    step_key = jax.random.split(jax.random.key(123))[1]
+    fast = sweep_random(st, cfg, refp, step_key)
+
+    slow = st
+    k = step_key
+    for p in range(cfg.subpalette_count):
+        for i in range(cfg.subpalette_size):
+            k, sub = jax.random.split(k)
+            slow = refine_slot_random(slow, cfg, refp, sub, p, i).state
+    np.testing.assert_array_equal(
+        np.asarray(fast.state.palette), np.asarray(slow.palette)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast.state.palette_map), np.asarray(slow.palette_map)
+    )
+
+    fast_c = sweep_channel(st, cfg, refp)
+    slow = st
+    for p in range(cfg.subpalette_count):
+        for i in range(cfg.subpalette_size):
+            for ch in range(3):
+                slow = refine_slot_channel(slow, cfg, refp, p, i, ch).state
+    np.testing.assert_array_equal(
+        np.asarray(fast_c.state.palette), np.asarray(slow.palette)
+    )
+
+
+def test_sweep_nes_matches_per_slot(small_image):
+    from snesimage_tpu.core.refine import sweep_nes
+
+    st, cfg = _prepped(small_image, nes=True)
+    refp = make_reference_pyramid(st)
+    fast = sweep_nes(st, cfg, refp)
+    slow = st
+    for p in range(cfg.subpalette_count):
+        for i in range(cfg.subpalette_size):
+            slow = refine_slot_nes(slow, cfg, refp, p, i).state
+    np.testing.assert_array_equal(
+        np.asarray(fast.state.palette), np.asarray(slow.palette)
+    )
