@@ -1,0 +1,121 @@
+"""Batched multi-image CLI — the scale-out entry point.
+
+The reference processes one image per process (src/main.rs); this command
+optimizes a whole directory of 256x256 images as one sharded batch across
+every available chip (BASELINE.json config 5: "batched 256-image run").
+All images advance through the scheduler in SPMD lockstep; per-image
+results are written as reference-format JSON files.
+
+Usage:
+    python -m snesimage_tpu.batch_cli INDIR OUTDIR -c 4 -s 3 --nes --steps 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pathlib
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="snesimage-tpu-batch",
+        description="Optimize a directory of images as one sharded batch.",
+    )
+    p.add_argument("input_dir", help="Directory of source images")
+    p.add_argument("output_dir", help="Directory for JSON outputs")
+    p.add_argument("-c", "--subpalette-count", type=int, default=1)
+    p.add_argument("-s", "--subpalette-size", type=int, default=7)
+    p.add_argument("-d", "--dither", action="store_true")
+    p.add_argument("--perceptual-palettes", action="store_true")
+    p.add_argument("--nes", action="store_true")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trials", type=int, default=64)
+    p.add_argument("--limit", type=int, help="Only process the first N images")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from snesimage_tpu.cli import setup_logger
+
+    setup_logger(logging.DEBUG if args.verbose else logging.INFO)
+    log = logging.getLogger("snesimage_tpu")
+
+    import numpy as np
+
+    from snesimage_tpu.config import QuantConfig
+    from snesimage_tpu.core.state import QuantState
+    from snesimage_tpu.io.image import check_size, load_rgba
+    from snesimage_tpu.io.json_out import write_json
+    from snesimage_tpu.parallel import batch as pb
+
+    try:
+        config = QuantConfig(
+            subpalette_count=args.subpalette_count,
+            subpalette_size=args.subpalette_size,
+            dither=args.dither,
+            perceptual_palettes=args.perceptual_palettes,
+            nes=args.nes,
+            seed=args.seed,
+            max_steps=args.steps,
+            random_trials=args.trials,
+        )
+        indir = pathlib.Path(args.input_dir)
+        outdir = pathlib.Path(args.output_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+
+        exts = {".png", ".bmp", ".gif", ".jpg", ".jpeg", ".webp"}
+        paths = sorted(p for p in indir.iterdir() if p.suffix.lower() in exts)
+        if args.limit:
+            paths = paths[: args.limit]
+        if not paths:
+            raise ValueError(f"No images found in {indir}")
+
+        images = []
+        for p in paths:
+            img = load_rgba(str(p))
+            check_size(img, config.width, config.height)
+            images.append(img)
+        images = np.stack(images)
+        log.info("Optimizing %d images as one batch", len(paths))
+
+        mesh = pb.make_mesh()
+        # Shard axis must divide the batch: pad with replicas, drop later.
+        n_dev = mesh.devices.size
+        pad = (-len(images)) % n_dev
+        if pad:
+            images = np.concatenate([images, images[:1].repeat(pad, axis=0)])
+        t0 = time.perf_counter()
+        states, errors = pb.batched_run(images, config, mesh=mesh)
+        elapsed = time.perf_counter() - t0
+        log.info(
+            "Batch done in %.2fs (%.3f images/sec); mean error per step: %s",
+            elapsed,
+            len(paths) / elapsed,
+            [round(e, 4) for e in errors],
+        )
+
+        for b, p in enumerate(paths):
+            single = QuantState(
+                original=states.original[b],
+                tile_palettes=states.tile_palettes[b],
+                palette=states.palette[b],
+                palette_map=states.palette_map[b],
+            )
+            write_json(str(outdir / (p.stem + ".json")), single, config)
+        log.info("Wrote %d JSON files to %s", len(paths), outdir)
+        return 0
+    except Exception as err:
+        log.error("Error running application: %s", err)
+        if args.verbose:
+            raise
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

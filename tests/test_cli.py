@@ -59,3 +59,33 @@ def test_cli_wrong_size_fails(tmp_path, rng):
     Image.fromarray(img, "RGBA").save(src)
     rc = main([str(src), str(tmp_path / "out.json")])
     assert rc == 1
+
+
+@pytest.mark.slow
+def test_batch_cli_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    from snesimage_tpu.batch_cli import main as batch_main
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    for i in range(2):
+        img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+        img[..., 3] = 255
+        Image.fromarray(img, "RGBA").save(indir / f"img{i}.png")
+
+    rc = batch_main([str(indir), str(outdir), "-c", "2", "-s", "3", "--steps", "1"])
+    assert rc == 0
+    for i in range(2):
+        doc = json.loads((outdir / f"img{i}.json").read_text())
+        assert len(doc["tiles"]) == 1024
+        assert len(doc["palette"]) == 32
+
+
+def test_batch_cli_empty_dir(tmp_path):
+    from snesimage_tpu.batch_cli import main as batch_main
+
+    (tmp_path / "empty").mkdir()
+    rc = batch_main([str(tmp_path / "empty"), str(tmp_path / "out")])
+    assert rc == 1
