@@ -42,7 +42,6 @@ from snesimage_tpu.ops.color import (
 from snesimage_tpu.ops.dither import remap_dithered
 from snesimage_tpu.ops.remap import (
     entry_distances,
-    frame01,
     remap_undithered,
     render_rgb8,
 )
@@ -52,8 +51,9 @@ _BIG = jnp.float32(3.0e38)
 
 
 def make_reference_pyramid(state: QuantState):
-    """Candidate-independent metric precomputation for this image."""
-    return reference_pyramid(frame01(state.rgb))
+    """Candidate-independent metric precomputation for this image.
+    Passes 8-bit values so the metric's exact sRGB-decode LUT applies."""
+    return reference_pyramid(state.rgb)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -80,8 +80,9 @@ def full_remap(state: QuantState, config: QuantConfig) -> QuantState:
 
 
 def _error_of_frame(refp, rgb8: jax.Array) -> jax.Array:
-    """Reference `error()`: 100 - SSIMULACRA2 (src/lib.rs:503-548)."""
-    return 100.0 - ssimulacra2_from_ref(refp, frame01(rgb8))
+    """Reference `error()`: 100 - SSIMULACRA2 (src/lib.rs:503-548).
+    Frames stay 8-bit into the metric (exact LUT decode)."""
+    return 100.0 - ssimulacra2_from_ref(refp, rgb8)
 
 
 @partial(jax.jit, static_argnames=("config",))

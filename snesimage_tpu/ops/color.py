@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from snesimage_tpu.constants import NES_PALETTE_5BIT
 
@@ -118,6 +119,25 @@ def srgb01_to_linear(c: jax.Array) -> jax.Array:
     return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
 
+def _srgb_u8_linear_lut() -> np.ndarray:
+    """Exact f64-computed sRGB-decode table for the 256 u8 codes.
+
+    TPU transcendentals (`pow`) carry ~1e-4 relative error which leaks
+    ~0.1 absolute error into CIELAB; u8 inputs make an exact table lookup
+    both faster and bit-accurate."""
+    c = np.arange(256, dtype=np.float64) / 255.0
+    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    return lin.astype(np.float32)
+
+
+_SRGB_U8_LINEAR_LUT = _srgb_u8_linear_lut()
+
+
+def srgb_u8_to_linear(rgb_u8: jax.Array) -> jax.Array:
+    """8-bit sRGB -> linear via the exact 256-entry LUT."""
+    return jnp.asarray(_SRGB_U8_LINEAR_LUT)[rgb_u8.astype(jnp.int32)]
+
+
 def linear_to_srgb01(c: jax.Array) -> jax.Array:
     """sRGB transfer encode, input/output in [0, 1]."""
     c = c.astype(jnp.float32)
@@ -141,7 +161,7 @@ def srgb_u8_to_lab(rgb: jax.Array) -> jax.Array:
     Matches the `palette` crate conversion used at reference
     src/lib.rs:101-103, 344-346, 1092-1097.
     """
-    lin = srgb01_to_linear(rgb.astype(jnp.float32) / 255.0)
+    lin = srgb_u8_to_linear(rgb)
     xyz = lin @ _RGB_TO_XYZ.T
     f = _lab_f(xyz / _D65_WHITE)
     l = 116.0 * f[..., 1] - 16.0

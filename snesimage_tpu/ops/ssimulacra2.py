@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from snesimage_tpu.ops.color import srgb01_to_linear
+from snesimage_tpu.ops.color import srgb01_to_linear, srgb_u8_to_linear
 from snesimage_tpu.ops.ssimulacra2_consts import (
     GAUSSIAN_SIGMA,
     NUM_SCALES,
@@ -174,13 +174,23 @@ def _scale_features(
     return jnp.stack([ssim1, art1, det1, ssim4, art4, det4], axis=-1)
 
 
+def _decode_srgb(img: jax.Array) -> jax.Array:
+    """sRGB -> linear. Integer inputs take the exact u8 LUT (bit-accurate
+    on TPU, where `pow` carries ~1e-4 relative error); float inputs in
+    [0,1] take the analytic transfer curve."""
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return srgb_u8_to_linear(img)
+    return srgb01_to_linear(img)
+
+
 def reference_pyramid(ref01: jax.Array):
     """Precompute the candidate-independent half of the metric.
 
-    ref01: (..., H, W, 3) sRGB in [0,1]. Returns a pytree of per-scale
-    (img1, mu1, s11) tuples in positive-XYB space.
+    ref01: (..., H, W, 3) sRGB in [0,1] (float) or 8-bit (integer).
+    Returns a pytree of per-scale (img1, mu1, s11) tuples in positive-XYB
+    space.
     """
-    lin = srgb01_to_linear(ref01)
+    lin = _decode_srgb(ref01)
     scales = []
     for s in range(NUM_SCALES):
         if s:
@@ -193,10 +203,11 @@ def reference_pyramid(ref01: jax.Array):
 def ssimulacra2_from_ref(refp, dis01: jax.Array) -> jax.Array:
     """Score a distorted frame against a precomputed reference pyramid.
 
-    dis01: (..., H, W, 3) sRGB in [0,1]; vmap over leading axes to score
-    candidate batches. Returns scalar (or batched) f32 score <= 100.
+    dis01: (..., H, W, 3) sRGB in [0,1] (float) or 8-bit (integer); vmap
+    over leading axes to score candidate batches. Returns scalar (or
+    batched) f32 score <= 100.
     """
-    lin2 = srgb01_to_linear(dis01)
+    lin2 = _decode_srgb(dis01)
     feats = []
     for s in range(NUM_SCALES):
         if s:
