@@ -38,14 +38,19 @@ from snesimage_tpu.ops.color import (
     expand_5bit_to_8bit,
     red_mean_sq_scaled,
     srgb_u8_to_lab,
+    srgb_u8_to_linear,
 )
 from snesimage_tpu.ops.dither import remap_dithered
 from snesimage_tpu.ops.remap import (
     entry_distances,
     remap_undithered,
+    render_linear,
     render_rgb8,
 )
-from snesimage_tpu.ops.ssimulacra2 import reference_pyramid, ssimulacra2_from_ref
+from snesimage_tpu.ops.ssimulacra2 import (
+    reference_pyramid,
+    ssimulacra2_from_ref_linear,
+)
 
 _BIG = jnp.float32(3.0e38)
 
@@ -79,15 +84,15 @@ def full_remap(state: QuantState, config: QuantConfig) -> QuantState:
     return state._replace(palette_map=pm)
 
 
-def _error_of_frame(refp, rgb8: jax.Array) -> jax.Array:
+def _error_of_frame(refp, lin_frame: jax.Array) -> jax.Array:
     """Reference `error()`: 100 - SSIMULACRA2 (src/lib.rs:503-548).
-    Frames stay 8-bit into the metric (exact LUT decode)."""
-    return 100.0 - ssimulacra2_from_ref(refp, rgb8)
+    Frames arrive already in linear RGB (see render_linear)."""
+    return 100.0 - ssimulacra2_from_ref_linear(refp, lin_frame)
 
 
 @partial(jax.jit, static_argnames=("config",))
 def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
-    rendered = render_rgb8(
+    rendered = render_linear(
         state.palette_map, state.alpha, state.tile_palettes, state.palette
     )
     return _error_of_frame(refp, rendered)
@@ -98,12 +103,24 @@ def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _candidate_errors_undithered(
-    state: QuantState, config: QuantConfig, refp, p, i, cand5
-):
-    """Errors for B candidate colors in slot (p, i), incremental remap.
+def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
+    """Shared per-slot-visit precomputation for the undithered path.
 
-    cand5: (B, 3) 5-bit candidate colors. Returns (B,) f32 errors.
+    Everything that does not depend on the candidate color is computed
+    once: distances of every pixel to its subpalette's unchanged entries
+    (native dtype — exact int32 red-mean or f32 CIEDE2000), the
+    first-minimum-wins best entry with and without slot ``i``
+    (src/lib.rs:780-792 tie semantics), and the candidate-independent part
+    of the linear-RGB rendered frame. Returns two closures:
+
+      errors(refp, cand5) -> (B,) errors — per candidate: one distance
+        column, one vectorized select, one metric evaluation. No gathers,
+        no per-pixel transfer decode (a u8-LUT gather measured 23x the
+        rest of the metric on TPU).
+      final_map(color5) -> (H, W) palette_map — the exact equivalent of a
+        full remap with slot ``i`` set to ``color5``, at the cost of a
+        single distance column (used to apply the winning color without
+        re-running the full O(H*W*S) remap).
     """
     s = config.subpalette_size
     entries8 = expand_5bit_to_8bit(state.palette)  # (C, S, 3)
@@ -112,14 +129,9 @@ def _candidate_errors_undithered(
     target_u8 = state.rgb  # undithered: zero accumulated error
     perceptual = config.perceptual_palettes
 
-    # Distances stay in their native dtype: int32 for red-mean (exact
-    # integer compares reproduce the reference's f64 tie behavior), f32
-    # for CIEDE2000.
     d_all = entry_distances(target_u8, sub, perceptual)
     big = jnp.iinfo(jnp.int32).max if d_all.dtype == jnp.int32 else _BIG
 
-    # Best among entries != i (first-minimum wins), only meaningful where
-    # the pixel's tile uses subpalette p.
     excl = jnp.arange(s) == i  # (S,)
     d_masked = jnp.where(excl, big, d_all)
     best_val = jnp.min(d_masked, axis=-1)
@@ -127,36 +139,54 @@ def _candidate_errors_undithered(
     base_idx = jnp.argmin(d_all, axis=-1).astype(jnp.int32)
 
     affected = tp_pix == p  # (H, W)
-    cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
+    opaque = state.alpha > 0
     if perceptual:
-        cand_lab = srgb_u8_to_lab(cand8)
         target_lab = srgb_u8_to_lab(target_u8)
 
-    entries_flat = entries8.reshape(-1, 3)  # (C*S, 3)
+    entries_lin_flat = srgb_u8_to_linear(entries8).reshape(-1, 3)  # (C*S, 3)
+    opaque3 = opaque[..., None]
+    lin_base = jnp.where(opaque3, entries_lin_flat[tp_pix * s + base_idx], 0.0)
+    lin_excl = jnp.where(opaque3, entries_lin_flat[tp_pix * s + best_idx], 0.0)
+    lin_no_cand = jnp.where(affected[..., None], lin_excl, lin_base)
+    cand_mask3 = (affected & opaque)[..., None]
 
-    def one_candidate(c8, c_lab_or_none):
+    def _cand_wins(c8, c_lab):
+        """Strict-less-than scan over entry index: the candidate (at index
+        i) wins on d_c < best_val, or on ties when i precedes best_idx."""
         if perceptual:
-            d_c = ciede2000(target_lab, c_lab_or_none)
+            d_c = ciede2000(target_lab, c_lab)
         else:
             d_c = red_mean_sq_scaled(target_u8, c8)
-        # Strict-less-than scan over entry index: the candidate (at index
-        # i) wins on d_c < best_val, or on ties when i precedes best_idx.
-        cand_wins = (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
-        idx_aff = jnp.where(cand_wins, i, best_idx)
-        idx = jnp.where(affected, idx_aff, base_idx)
-        idx = jnp.where(state.alpha > 0, idx, 0)
+        return (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
 
-        # Render with the candidate palette.
-        color_index = tp_pix * s + idx
-        rgb = entries_flat[color_index]
-        uses_cand = affected & (idx == i)
-        rgb = jnp.where(uses_cand[..., None], c8, rgb)
-        rgb = jnp.where((state.alpha > 0)[..., None], rgb, 0)
-        return _error_of_frame(refp, rgb)
+    def errors(refp, cand5):
+        cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
+        cand_lin = srgb_u8_to_linear(cand8)
+        cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
 
-    if perceptual:
-        return jax.vmap(one_candidate)(cand8, cand_lab)
-    return jax.vmap(one_candidate)(cand8, cand8)
+        def one_candidate(c8, c_lin, c_lab):
+            wins = _cand_wins(c8, c_lab)
+            lin = jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
+            return _error_of_frame(refp, lin)
+
+        return jax.vmap(one_candidate)(cand8, cand_lin, cand_lab)
+
+    def final_map(color5):
+        c8 = expand_5bit_to_8bit(color5)
+        c_lab = srgb_u8_to_lab(c8) if perceptual else c8
+        wins = _cand_wins(c8, c_lab)
+        idx = jnp.where(affected, jnp.where(wins, i, best_idx), base_idx)
+        return jnp.where(opaque, idx, 0).astype(jnp.int32)
+
+    return errors, final_map
+
+
+def _candidate_errors_undithered(
+    state: QuantState, config: QuantConfig, refp, p, i, cand5
+):
+    """Errors for B candidate colors in slot (p, i), incremental remap."""
+    errors, _ = _undithered_machinery(state, config, p, i)
+    return errors(refp, cand5)
 
 
 def _candidate_errors_dithered(
@@ -175,7 +205,7 @@ def _candidate_errors_dithered(
             palette,
             config.perceptual_palettes,
         )
-        rendered = render_rgb8(pm, state.alpha, state.tile_palettes, palette)
+        rendered = render_linear(pm, state.alpha, state.tile_palettes, palette)
         return _error_of_frame(refp, rendered)
 
     return jax.vmap(one_candidate)(cand5.astype(jnp.int32))
@@ -198,11 +228,37 @@ class SlotResult(NamedTuple):
     changed: jax.Array  # whether the entry changed
 
 
-def _apply_best(state, config, p, i, color5) -> QuantState:
-    palette = jax.lax.dynamic_update_slice(
-        state.palette, color5.astype(jnp.int32).reshape(1, 1, 3), (p, i, 0)
-    )
-    return full_remap(state._replace(palette=palette), config)
+def _slot_machinery(state: QuantState, config: QuantConfig, p, i):
+    """(errors, apply) closures for one slot visit, dither-aware.
+
+    `apply(color5)` produces the post-visit state: for the undithered path
+    the new palette_map comes from the slot context at the cost of ONE
+    distance column (bit-identical to a full remap with the new palette);
+    the dithered path re-runs the wavefront scan."""
+    if config.dither:
+
+        def errors(refp, cand5):
+            return _candidate_errors_dithered(state, config, refp, p, i, cand5)
+
+        def apply(color5):
+            palette = jax.lax.dynamic_update_slice(
+                state.palette,
+                color5.astype(jnp.int32).reshape(1, 1, 3),
+                (p, i, 0),
+            )
+            return full_remap(state._replace(palette=palette), config)
+
+        return errors, apply
+
+    errors, final_map = _undithered_machinery(state, config, p, i)
+
+    def apply(color5):
+        palette = jax.lax.dynamic_update_slice(
+            state.palette, color5.astype(jnp.int32).reshape(1, 1, 3), (p, i, 0)
+        )
+        return state._replace(palette=palette, palette_map=final_map(color5))
+
+    return errors, apply
 
 
 def _slot_random(state: QuantState, config: QuantConfig, refp, key, p, i) -> SlotResult:
@@ -216,14 +272,14 @@ def _slot_random(state: QuantState, config: QuantConfig, refp, key, p, i) -> Slo
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     rand5 = jax.random.randint(key, (config.random_trials, 3), 0, 32, dtype=jnp.int32)
     cand5 = jnp.concatenate([current[None, :], rand5], axis=0)
-    errs = candidate_errors(state, config, refp, p, i, cand5)
+    errors, apply = _slot_machinery(state, config, p, i)
+    errs = errors(refp, cand5)
     base_err = errs[0]
     bidx = jnp.argmin(errs[1:])
     bmin = errs[1:][bidx]
     accept = bmin < base_err
     color = jnp.where(accept, rand5[bidx], current)
-    new_state = _apply_best(state, config, p, i, color)
-    return SlotResult(new_state, jnp.minimum(bmin, base_err), accept)
+    return SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
 
 
 def _slot_channel(
@@ -238,27 +294,27 @@ def _slot_channel(
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
     cand5 = jnp.concatenate([current[None, :], sweep5], axis=0)
-    errs = candidate_errors(state, config, refp, p, i, cand5)
+    errors, apply = _slot_machinery(state, config, p, i)
+    errs = errors(refp, cand5)
     base_err = errs[0]
     bidx = jnp.argmin(errs[1:])
     bmin = errs[1:][bidx]
     accept = bmin < base_err
     color = jnp.where(accept, sweep5[bidx], current)
-    new_state = _apply_best(state, config, p, i, color)
-    return SlotResult(new_state, jnp.minimum(bmin, base_err), accept)
+    return SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
 
 
 def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i) -> SlotResult:
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
     with the best NES color (best_error starts at MAX, src/lib.rs:242-284)."""
     cand5 = jnp.asarray(NES_PALETTE_5BIT)
-    errs = candidate_errors(state, config, refp, p, i, cand5)
+    errors, apply = _slot_machinery(state, config, p, i)
+    errs = errors(refp, cand5)
     bidx = jnp.argmin(errs)
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     color = cand5[bidx]
     changed = jnp.any(color != current)
-    new_state = _apply_best(state, config, p, i, color)
-    return SlotResult(new_state, errs[bidx], changed)
+    return SlotResult(apply(color), errs[bidx], changed)
 
 
 refine_slot_random = partial(jax.jit, static_argnames=("config",))(_slot_random)

@@ -123,3 +123,28 @@ def frame01(rgb8: jax.Array) -> jax.Array:
     """8-bit frame -> float32 [0,1] triples for the metric
     (reference: src/lib.rs:506-536 normalizes r,g,b and drops alpha)."""
     return rgb8.astype(jnp.float32) / 255.0
+
+
+def render_linear(
+    palette_map: jax.Array,
+    alpha: jax.Array,
+    tile_palettes: jax.Array,
+    palette5: jax.Array,
+) -> jax.Array:
+    """Render the quantized frame directly in linear RGB for the metric.
+
+    Per-pixel sRGB decode is a gather from a 256-entry LUT — measured 23x
+    slower than the whole rest of the metric on TPU. Since rendered frames
+    only ever contain palette-entry colors (plus black for transparency),
+    decode the C*S entries once (exact f64-derived LUT, tiny) and gather
+    *linear* values during the render instead.
+    """
+    from snesimage_tpu.ops.color import srgb_u8_to_linear
+
+    entries_lin = srgb_u8_to_linear(expand_5bit_to_8bit(palette5))  # (C, S, 3)
+    c, s, _ = entries_lin.shape
+    flat = entries_lin.reshape(c * s, 3)
+    tp_pix = jnp.repeat(jnp.repeat(tile_palettes, 8, axis=0), 8, axis=1)
+    color_index = tp_pix * s + palette_map
+    lin = flat[color_index]
+    return jnp.where((alpha > 0)[..., None], lin, 0.0)

@@ -207,7 +207,17 @@ def ssimulacra2_from_ref(refp, dis01: jax.Array) -> jax.Array:
     over leading axes to score candidate batches. Returns scalar (or
     batched) f32 score <= 100.
     """
-    lin2 = _decode_srgb(dis01)
+    return ssimulacra2_from_ref_linear(refp, _decode_srgb(dis01))
+
+
+def ssimulacra2_from_ref_linear(refp, lin2: jax.Array) -> jax.Array:
+    """Like `ssimulacra2_from_ref` but takes an already-linear RGB frame.
+
+    This is the refine loop's hot entry: rendered candidate frames are
+    produced directly in linear space (ops/remap.py `render_linear`), so
+    no per-pixel transfer decode runs per candidate (the u8-LUT gather
+    alone measured 23x the rest of the metric on TPU).
+    """
     feats = []
     for s in range(NUM_SCALES):
         if s:

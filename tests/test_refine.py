@@ -180,3 +180,21 @@ def test_sweep_nes_matches_per_slot(small_image):
     np.testing.assert_array_equal(
         np.asarray(fast.state.palette), np.asarray(slow.palette)
     )
+
+
+def test_final_map_equals_full_remap(small_image):
+    """The incremental final_map applied after a slot visit must be
+    bit-identical to a full remap with the updated palette."""
+    from snesimage_tpu.ops.remap import remap_undithered
+
+    for perceptual in (False, True):
+        st, cfg = _prepped(small_image, perceptual_palettes=perceptual)
+        refp = make_reference_pyramid(st)
+        res = refine_slot_random(st, cfg, refp, jax.random.key(3), 1, 2)
+        want = remap_undithered(
+            res.state.rgb, res.state.alpha, res.state.tile_palettes,
+            res.state.palette, perceptual,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.state.palette_map), np.asarray(want)
+        )
