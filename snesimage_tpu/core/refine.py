@@ -164,12 +164,14 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
 
-        def one_candidate(c8, c_lin, c_lab):
+        def one_frame(c8, c_lin, c_lab):
             wins = _cand_wins(c8, c_lab)
-            lin = jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
-            return _error_of_frame(refp, lin)
+            return jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
 
-        return jax.vmap(one_candidate)(cand8, cand_lin, cand_lab)
+        # Build all candidate frames, then score them as ONE explicit
+        # batch — the metric's fused Pallas path takes (B, H, W, 3).
+        frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
+        return _error_of_frame(refp, frames)
 
     def final_map(color5):
         c8 = expand_5bit_to_8bit(color5)
@@ -194,7 +196,7 @@ def _candidate_errors_dithered(
 ):
     """Dithered candidate evaluation: vmapped wavefront remap per palette."""
 
-    def one_candidate(c5):
+    def one_frame(c5):
         palette = jax.lax.dynamic_update_slice(
             state.palette, c5.reshape(1, 1, 3), (p, i, 0)
         )
@@ -205,10 +207,10 @@ def _candidate_errors_dithered(
             palette,
             config.perceptual_palettes,
         )
-        rendered = render_linear(pm, state.alpha, state.tile_palettes, palette)
-        return _error_of_frame(refp, rendered)
+        return render_linear(pm, state.alpha, state.tile_palettes, palette)
 
-    return jax.vmap(one_candidate)(cand5.astype(jnp.int32))
+    frames = jax.vmap(one_frame)(cand5.astype(jnp.int32))
+    return _error_of_frame(refp, frames)  # one explicit metric batch
 
 
 def candidate_errors(state, config: QuantConfig, refp, p, i, cand5):
