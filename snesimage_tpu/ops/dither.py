@@ -65,37 +65,58 @@ def remap_dithered(
 
     Bit-compatible (up to f32-vs-f64 error accumulation) with the
     reference's serial scan; validated against the serial oracle in tests.
+
+    Implementation: `lax.scan` over the skewed columns. Error from column
+    ``c`` only reaches columns c+1..c+3, so the carry is a rolling
+    (H, 3, 3) error window instead of the full skewed error plane — the
+    big arrays are scan inputs/outputs (sliced/stacked by scan itself),
+    which keeps per-step work O(H * S) with a tiny carried state. This
+    made the dithered candidate sweep ~20x faster than the fori_loop
+    formulation that dragged the whole (H, WS, 3) plane through every
+    step.
     """
     h, w, _ = original_rgb.shape
-    ws = w + 2 * (h - 1)
 
     entries8 = expand_5bit_to_8bit(palette5)  # (C, S, 3)
     tp_pix = jnp.repeat(jnp.repeat(tile_palettes, 8, axis=0), 8, axis=1)
 
-    orig_sk = skew(original_rgb.astype(jnp.float32))  # (H, WS, 3)
-    alpha_sk = skew(alpha.astype(jnp.int32))
-    tp_sk = skew(tp_pix.astype(jnp.int32))
-    x_of = skew(
-        jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)), fill=-1
+    # Scan inputs, skewed and column-major: xs[c] = column c.
+    def colmaj(a):
+        return jnp.moveaxis(a, 1, 0)  # (H, WS, ...) -> (WS, H, ...)
+
+    orig_sk = colmaj(skew(original_rgb.astype(jnp.float32)))  # (WS, H, 3)
+    alpha_sk = colmaj(skew(alpha.astype(jnp.int32)))
+    tp_sk = colmaj(skew(tp_pix.astype(jnp.int32)))
+    x_of = colmaj(
+        skew(
+            jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)),
+            fill=-1,
+        )
     )  # source x per skewed cell, -1 outside
 
     wgt = jnp.asarray(DITHER_WEIGHTS) * DITHER_DAMPING
 
-    def step(c, state):
-        err, pmap = state
-        x_col = jax.lax.dynamic_slice_in_dim(x_of, c, 1, axis=1)[:, 0]  # (H,)
+    # Hoist the per-column subpalette gather out of the sequential loop:
+    # one bulk gather (WS, H, S, 3) becomes a scan input that scan slices
+    # per step — in-loop gathers were the scan's dominant cost on TPU.
+    sub_sk = entries8[tp_sk]  # (WS, H, S, 3)
+    s_entries = entries8.shape[1]
+
+    def step(err_win, xs):
+        # err_win: (H, 3, 3) accumulated error for columns c, c+1, c+2.
+        orig_col, alpha_col, sub, x_col = xs
         valid = x_col >= 0
-        orig_col = jax.lax.dynamic_slice_in_dim(orig_sk, c, 1, axis=1)[:, 0]
-        alpha_col = jax.lax.dynamic_slice_in_dim(alpha_sk, c, 1, axis=1)[:, 0]
-        tp_col = jax.lax.dynamic_slice_in_dim(tp_sk, c, 1, axis=1)[:, 0]
-        err_col = jax.lax.dynamic_slice_in_dim(err, c, 1, axis=1)[:, 0]  # (H, 3)
+        err_col = err_win[:, 0]
 
         target = orig_col + err_col
         t_u8 = quantize_target_u8(target)
-        sub = entries8[tp_col]  # (H, S, 3)
         d = entry_distances(t_u8, sub, perceptual)
         idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        new_color = jnp.take_along_axis(sub, idx[:, None, None], axis=-2)[..., 0, :]
+        # one-hot select instead of a per-step take_along_axis gather
+        onehot = (idx[:, None] == jnp.arange(s_entries)[None, :]).astype(
+            sub.dtype if sub.dtype != jnp.int32 else jnp.int32
+        )
+        new_color = jnp.sum(sub * onehot[..., None], axis=-2)
 
         opaque = alpha_col > 0
         perr = jnp.where(
@@ -117,16 +138,101 @@ def remap_dithered(
         add2 = down(perr * wgt[2] * m_s)
         add3 = down(perr * wgt[3] * m_se)
 
-        # err has 3 columns of padding at the end so c+3 is always in range.
-        upd = jnp.stack([add1, add2, add3], axis=1)  # (H, 3cols, 3)
-        err_slice = jax.lax.dynamic_slice(err, (0, c + 1, 0), (h, 3, 3))
-        err = jax.lax.dynamic_update_slice(err, err_slice + upd, (0, c + 1, 0))
-
+        new_win = jnp.stack(
+            [err_win[:, 1] + add1, err_win[:, 2] + add2, add3], axis=1
+        )
         col_val = jnp.where(opaque & valid, idx, 0)
-        pmap = jax.lax.dynamic_update_slice(pmap, col_val[:, None], (0, c))
-        return err, pmap
+        return new_win, col_val
 
-    err0 = jnp.zeros((h, ws + 3, 3), dtype=jnp.float32)
-    pmap0 = jnp.zeros((h, ws), dtype=jnp.int32)
-    _, pmap = jax.lax.fori_loop(0, ws, step, (err0, pmap0))
-    return unskew(pmap, h, w)
+    err0 = jnp.zeros((h, 3, 3), dtype=jnp.float32)
+    _, map_cols = jax.lax.scan(step, err0, (orig_sk, alpha_sk, sub_sk, x_of))
+    return unskew(jnp.moveaxis(map_cols, 0, 1), h, w)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-batched dithered remap (Pallas fast path)
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas_dither(perceptual: bool) -> bool:
+    import os
+
+    if os.environ.get("SNESIMAGE_NO_PALLAS"):
+        return False
+    return not perceptual and jax.default_backend() == "tpu"
+
+
+def _prep_skewed(original_rgb, alpha, tile_palettes, palette5, p):
+    """Column-major skewed inputs for the Pallas wavefront kernel, padded
+    to the kernel's chunk size. Layouts put the image row axis H last
+    (the 128-lane dimension); see ops/pallas_dither.py."""
+    from snesimage_tpu.ops.pallas_dither import _CHUNK
+
+    h, w, _ = original_rgb.shape
+    ws = w + 2 * (h - 1)
+    wsp = -(-ws // _CHUNK) * _CHUNK
+
+    entries8 = expand_5bit_to_8bit(palette5).astype(jnp.float32)  # (C, S, 3)
+    tp_pix = jnp.repeat(jnp.repeat(tile_palettes, 8, axis=0), 8, axis=1)
+
+    def cm(a, fill=0):
+        sk = skew(a, fill=fill)  # (H, WS, ...)
+        pad = [(0, 0)] * sk.ndim
+        pad[1] = (0, wsp - ws)
+        sk = jnp.pad(sk, pad, constant_values=fill)
+        return jnp.moveaxis(sk, 1, 0)  # (WSp, H, ...)
+
+    orig_sk = jnp.moveaxis(cm(original_rgb.astype(jnp.float32)), -1, 1)  # (WSp,3,H)
+    alpha_sk = cm(alpha.astype(jnp.int32))
+    xof_sk = cm(
+        jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)), fill=-1
+    )
+    tp_sk = cm(tp_pix.astype(jnp.int32))  # (WSp, H)
+    s = entries8.shape[1]
+    # entry table with channel-major rows (C, 3*S); the kernel rebuilds
+    # per-pixel subpalettes from it with C selects (no big gather).
+    entries_cm = jnp.transpose(entries8, (0, 2, 1)).reshape(-1, 3 * s)
+    aff_sk = (tp_sk == p).astype(jnp.int32)
+    return orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, (h, w, wsp)
+
+
+def dither_candidates(
+    original_rgb: jax.Array,
+    alpha: jax.Array,
+    tile_palettes: jax.Array,
+    palette5: jax.Array,
+    p,
+    i,
+    cand5: jax.Array,
+    perceptual: bool,
+) -> jax.Array:
+    """Dithered palette maps for B candidate colors of slot (p, i).
+
+    Returns (B, H, W) int32. On TPU with red-mean distance this runs the
+    fused Pallas wavefront (ops/pallas_dither.py, ~40x less loop overhead
+    than lax.scan); otherwise it vmaps the XLA scan over per-candidate
+    palettes.
+    """
+    if _use_pallas_dither(perceptual):
+        from snesimage_tpu.ops.color import expand_5bit_to_8bit as _exp
+        from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+        orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, (h, w, _) = (
+            _prep_skewed(original_rgb, alpha, tile_palettes, palette5, p)
+        )
+        cand8 = _exp(cand5).astype(jnp.float32)
+        out = dither_remap_candidates(
+            orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, cand8, i,
+            img_w=w,
+        )  # (B, WSp, H)
+        maps_hw = jnp.swapaxes(out, 1, 2)  # (B, H, WSp)
+        yy, cc = _skew_indices(h, w)
+        return maps_hw[:, yy, cc]
+
+    def one(c5):
+        palette = jax.lax.dynamic_update_slice(
+            palette5, c5.reshape(1, 1, 3).astype(palette5.dtype), (p, i, 0)
+        )
+        return remap_dithered(original_rgb, alpha, tile_palettes, palette, perceptual)
+
+    return jax.vmap(one)(cand5.astype(jnp.int32))

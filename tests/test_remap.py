@@ -157,3 +157,69 @@ def test_candidate_vmap_batches(rng):
     for i in range(3):
         want = oracle_remap(rgba, tp, np.asarray(pals[i]), False, False)
         np.testing.assert_array_equal(np.asarray(got[i]), want)
+
+
+def test_pallas_dither_kernel_matches_oracle(rng):
+    """The fused Pallas wavefront kernel (interpret mode) must agree with
+    the serial C++ oracle and implement the candidate-override semantics."""
+    import jax
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import expand_5bit_to_8bit
+    from snesimage_tpu.ops.dither import _prep_skewed, _skew_indices
+    from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+    h = w = 16
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    rgba[0:8, 0:8, 3] = 0
+    tp = rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32)
+    pal = rng.integers(0, 32, (2, 4, 3)).astype(np.int32)
+    p, i = 1, 2
+    cands = rng.integers(0, 32, (3, 3)).astype(np.int32)
+
+    orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, (hh, ww, _) = (
+        _prep_skewed(
+            jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), p,
+        )
+    )
+    cand8 = expand_5bit_to_8bit(jnp.asarray(cands)).astype(jnp_.float32)
+    out = dither_remap_candidates(
+        orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, cand8, i,
+        img_w=w, interpret=True,
+    )
+    yy, cc = _skew_indices(h, w)
+    maps = np.asarray(jnp_.swapaxes(out, 1, 2))[:, np.asarray(yy), np.asarray(cc)]
+
+    for b, c5 in enumerate(cands):
+        pal_b = pal.copy()
+        pal_b[p, i] = c5
+        want = oracle_remap(rgba, tp, pal_b, dither=True, perceptual=False)
+        agree = (maps[b] == want).mean()
+        assert agree > 0.98, f"candidate {b}: agreement {agree}"
+
+
+def test_dither_candidates_xla_fallback_matches_per_palette(rng):
+    """On CPU, dither_candidates vmaps the scan; results must equal
+    remapping each candidate palette individually."""
+    from snesimage_tpu.ops.dither import dither_candidates
+
+    rgba, tp, pal = _setup(rng, h=16, w=16, c=2, s=3)
+    cands = jnp.asarray(rng.integers(0, 32, (2, 3)), dtype=jnp.int32)
+    p, i = 0, 1
+    maps = np.asarray(
+        dither_candidates(
+            jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), p, i, cands, False,
+        )
+    )
+    for b in range(2):
+        pal_b = np.asarray(pal).copy()
+        pal_b[p, i] = np.asarray(cands[b])
+        want = np.asarray(
+            remap_dithered(
+                jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+                jnp.asarray(tp), jnp.asarray(pal_b), False,
+            )
+        )
+        np.testing.assert_array_equal(maps[b], want)
