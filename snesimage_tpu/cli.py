@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
         "pressed during the Clustering phase)",
     )
     p.add_argument(
+        "--reassign-every", type=int, default=0, metavar="N",
+        help="Re-fit tile->subpalette assignments every N optimization "
+        "steps (extension; the reference only supports manual reassignment)",
+    )
+    p.add_argument(
         "--profile-dir",
         help="Capture a jax.profiler trace of the optimization into this "
         "directory (view with XProf/Perfetto)",
@@ -144,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
             with trace(args.profile_dir):
                 state, step_errors = pipeline.optimize(
                     state, config, refp=refp, start_step=len(errors),
-                    on_slot=on_slot,
+                    reassign_every=args.reassign_every, on_slot=on_slot,
                 )
             errors.extend(step_errors)
 

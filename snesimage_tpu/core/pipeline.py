@@ -127,6 +127,7 @@ def optimize(
     refp=None,
     max_steps: int | None = None,
     start_step: int = 0,
+    reassign_every: int = 0,
     on_slot: Callable[[SlotVisit, float], None] | None = None,
 ) -> tuple[QuantState, list[float]]:
     """Stage 3: the refinement loop.
@@ -198,6 +199,15 @@ def optimize(
             and step_errors[-2] - step_errors[-1] < config.converge_tol
         ):
             break
+
+        # Extension (the reference wishes for this, TODO.md:36-37):
+        # periodically re-fit tile->subpalette assignments to the evolved
+        # palettes, then remap.
+        if reassign_every > 0 and (local + 1) % reassign_every == 0:
+            from snesimage_tpu.core.reassign import auto_reassign_tiles
+
+            state = full_remap(auto_reassign_tiles(state, config), config)
+            log.info("step %d: tiles reassigned", step)
 
     return state, step_errors
 
