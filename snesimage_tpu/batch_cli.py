@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     from snesimage_tpu.io.json_out import write_json
     from snesimage_tpu.parallel import batch as pb
 
+    from snesimage_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     try:
         config = QuantConfig(
             subpalette_count=args.subpalette_count,

@@ -107,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
     from snesimage_tpu.io.image import check_size, load_rgba
     from snesimage_tpu.io.json_out import write_json
 
+    from snesimage_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     try:
         if args.resume:
             from snesimage_tpu.core.state import QuantState  # noqa: F401
