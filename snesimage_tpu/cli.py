@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0, help="Random-search seed")
     p.add_argument(
+        "--schedule", choices=["reference", "channel"], default="reference",
+        help="Step schedule: the reference's 4-random/1-channel cycle, or "
+        "pure channel sweeps (coordinate descent; converges faster and to "
+        "a lower error — see BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--trials", type=int, default=64,
         help="Random candidates per slot visit (reference: 64)",
     )
@@ -129,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_steps=args.steps,
                 converge_tol=args.tol,
                 random_trials=args.trials,
+                schedule=args.schedule,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

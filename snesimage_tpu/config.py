@@ -36,6 +36,12 @@ class QuantConfig:
     max_steps: int = 8  # full sweeps over all slots; reference runs forever
     converge_tol: float = 0.0  # stop early when a full sweep improves less
     random_trials: int = 64  # candidates per random slot visit (ref: 64)
+    # Step schedule: "reference" = the reference's 4-random-then-1-channel
+    # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
+    # (coordinate descent) — measured to converge faster AND to a lower
+    # error than the reference schedule (see BENCHMARKS.md). NES mode
+    # always uses NES sweeps regardless.
+    schedule: str = "reference"
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:
@@ -44,6 +50,8 @@ class QuantConfig:
             raise ValueError("subpalette_count must be in [1, 16]")
         if not 1 <= self.subpalette_size <= 15:
             raise ValueError("subpalette_size must be in [1, 15]")
+        if self.schedule not in ("reference", "channel"):
+            raise ValueError("schedule must be 'reference' or 'channel'")
 
     @property
     def width_tiles(self) -> int:

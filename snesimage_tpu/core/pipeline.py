@@ -151,7 +151,10 @@ def optimize(
 
     for local in range(max_steps):
         step = start_step + local
-        is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        if config.schedule == "channel":
+            is_random = False  # pure coordinate descent (extension)
+        else:
+            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
         step_key = None
         if is_random and not config.nes:
             key, step_key = jax.random.split(key)

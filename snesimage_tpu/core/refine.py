@@ -121,15 +121,30 @@ def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
+def compute_d_all(state: QuantState, config: QuantConfig) -> jax.Array:
+    """(H, W, S) distances of every pixel to each entry of its own
+    subpalette — native dtype (exact int32 red-mean or f32 CIEDE2000).
+
+    Sweeps carry this across slot visits: when slot (p, i) changes, only
+    column i of pixels in subpalette-p tiles changes (rank-1 update), so a
+    full recompute per visit is redundant."""
+    entries8 = expand_5bit_to_8bit(state.palette)
+    tp_pix = jnp.repeat(jnp.repeat(state.tile_palettes, 8, axis=0), 8, axis=1)
+    sub = entries8[tp_pix]  # (H, W, S, 3)
+    return entry_distances(state.rgb, sub, config.perceptual_palettes)
+
+
+def _undithered_machinery(
+    state: QuantState, config: QuantConfig, p, i, d_all=None, target_lab=None
+):
     """Shared per-slot-visit precomputation for the undithered path.
 
     Everything that does not depend on the candidate color is computed
     once: distances of every pixel to its subpalette's unchanged entries
-    (native dtype — exact int32 red-mean or f32 CIEDE2000), the
+    (``d_all``; passed in by sweeps that carry it across slots), the
     first-minimum-wins best entry with and without slot ``i``
     (src/lib.rs:780-792 tie semantics), and the candidate-independent part
-    of the linear-RGB rendered frame. Returns two closures:
+    of the linear-RGB rendered frame. Returns three closures:
 
       errors(refp, cand5) -> (B,) errors — per candidate: one distance
         column, one vectorized select, one metric evaluation. No gathers,
@@ -137,17 +152,19 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
         rest of the metric on TPU).
       final_map(color5) -> (H, W) palette_map — the exact equivalent of a
         full remap with slot ``i`` set to ``color5``, at the cost of a
-        single distance column (used to apply the winning color without
-        re-running the full O(H*W*S) remap).
+        single distance column.
+      new_d_all(color5) -> updated (H, W, S) distance cache after setting
+        slot (p, i) to color5 (bit-identical to compute_d_all on the
+        updated state: only affected pixels' column i changes).
     """
     s = config.subpalette_size
     entries8 = expand_5bit_to_8bit(state.palette)  # (C, S, 3)
     tp_pix = jnp.repeat(jnp.repeat(state.tile_palettes, 8, axis=0), 8, axis=1)
-    sub = entries8[tp_pix]  # (H, W, S, 3)
     target_u8 = state.rgb  # undithered: zero accumulated error
     perceptual = config.perceptual_palettes
 
-    d_all = entry_distances(target_u8, sub, perceptual)
+    if d_all is None:
+        d_all = compute_d_all(state, config)
     big = jnp.iinfo(jnp.int32).max if d_all.dtype == jnp.int32 else _BIG
 
     excl = jnp.arange(s) == i  # (S,)
@@ -158,7 +175,7 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
 
     affected = tp_pix == p  # (H, W)
     opaque = state.alpha > 0
-    if perceptual:
+    if perceptual and target_lab is None:
         target_lab = srgb_u8_to_lab(target_u8)
 
     entries_lin_flat = srgb_u8_to_linear(entries8).reshape(-1, 3)  # (C*S, 3)
@@ -168,13 +185,14 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
     lin_no_cand = jnp.where(affected[..., None], lin_excl, lin_base)
     cand_mask3 = (affected & opaque)[..., None]
 
-    def _cand_wins(c8, c_lab):
+    def _cand_dist(c8, c_lab):
+        if perceptual:
+            return ciede2000(target_lab, c_lab)
+        return red_mean_sq_scaled(target_u8, c8)
+
+    def _wins(d_c):
         """Strict-less-than scan over entry index: the candidate (at index
         i) wins on d_c < best_val, or on ties when i precedes best_idx."""
-        if perceptual:
-            d_c = ciede2000(target_lab, c_lab)
-        else:
-            d_c = red_mean_sq_scaled(target_u8, c8)
         return (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
 
     def errors(refp, cand5):
@@ -183,7 +201,7 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
 
         def one_frame(c8, c_lin, c_lab):
-            wins = _cand_wins(c8, c_lab)
+            wins = _wins(_cand_dist(c8, c_lab))
             return jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
 
         # Build all candidate frames, then score them as ONE explicit
@@ -191,21 +209,30 @@ def _undithered_machinery(state: QuantState, config: QuantConfig, p, i):
         frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
         return _error_of_frame(refp, frames)
 
-    def final_map(color5):
+    def _chosen_dist(color5):
         c8 = expand_5bit_to_8bit(color5)
         c_lab = srgb_u8_to_lab(c8) if perceptual else c8
-        wins = _cand_wins(c8, c_lab)
+        return _cand_dist(c8, c_lab)
+
+    def final_map(color5):
+        wins = _wins(_chosen_dist(color5))
         idx = jnp.where(affected, jnp.where(wins, i, best_idx), base_idx)
         return jnp.where(opaque, idx, 0).astype(jnp.int32)
 
-    return errors, final_map
+    def new_d_all(color5):
+        d_c = _chosen_dist(color5).astype(d_all.dtype)
+        old_col = jnp.take(d_all, i, axis=-1)  # (H, W)
+        col = jnp.where(affected, d_c, old_col)
+        return jnp.where(excl, col[..., None], d_all)
+
+    return errors, final_map, new_d_all
 
 
 def _candidate_errors_undithered(
     state: QuantState, config: QuantConfig, refp, p, i, cand5
 ):
     """Errors for B candidate colors in slot (p, i), incremental remap."""
-    errors, _ = _undithered_machinery(state, config, p, i)
+    errors, _, _ = _undithered_machinery(state, config, p, i)
     return errors(refp, cand5)
 
 
@@ -265,13 +292,17 @@ class SlotResult(NamedTuple):
     changed: jax.Array  # whether the entry changed
 
 
-def _slot_machinery(state: QuantState, config: QuantConfig, p, i):
-    """(errors, apply) closures for one slot visit, dither-aware.
+def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
+    """(errors, apply, new_cache) closures for one slot visit, dither-aware.
 
     `apply(color5)` produces the post-visit state: for the undithered path
     the new palette_map comes from the slot context at the cost of ONE
     distance column (bit-identical to a full remap with the new palette);
-    the dithered path re-runs the wavefront scan."""
+    the dithered path re-runs the wavefront scan.
+
+    `cache` is the optional (d_all, target_lab) pair carried across slot
+    visits by the on-device sweeps; `new_cache(color5)` returns its
+    updated value (None-safe for the dithered path, which has no cache)."""
     if config.dither:
 
         def errors(refp, cand5):
@@ -285,9 +316,12 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i):
             )
             return full_remap(state._replace(palette=palette), config)
 
-        return errors, apply
+        return errors, apply, lambda color5: None
 
-    errors, final_map = _undithered_machinery(state, config, p, i)
+    d_all, target_lab = cache if cache is not None else (None, None)
+    errors, final_map, new_d_all = _undithered_machinery(
+        state, config, p, i, d_all, target_lab
+    )
 
     def apply(color5):
         palette = jax.lax.dynamic_update_slice(
@@ -295,10 +329,15 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i):
         )
         return state._replace(palette=palette, palette_map=final_map(color5))
 
-    return errors, apply
+    def new_cache(color5):
+        return (new_d_all(color5), target_lab)
+
+    return errors, apply, new_cache
 
 
-def _slot_random(state: QuantState, config: QuantConfig, refp, key, p, i) -> SlotResult:
+def _slot_random(
+    state: QuantState, config: QuantConfig, refp, key, p, i, cache=None
+):
     """64 uniform-random 5-bit candidates; keep the best only if it beats
     the current error (src/lib.rs:191-240).
 
@@ -309,19 +348,20 @@ def _slot_random(state: QuantState, config: QuantConfig, refp, key, p, i) -> Slo
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     rand5 = jax.random.randint(key, (config.random_trials, 3), 0, 32, dtype=jnp.int32)
     cand5 = jnp.concatenate([current[None, :], rand5], axis=0)
-    errors, apply = _slot_machinery(state, config, p, i)
+    errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     errs = errors(refp, cand5)
     base_err = errs[0]
     bidx = jnp.argmin(errs[1:])
     bmin = errs[1:][bidx]
     accept = bmin < base_err
     color = jnp.where(accept, rand5[bidx], current)
-    return SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
+    res = SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
+    return res, new_cache(color)
 
 
 def _slot_channel(
-    state: QuantState, config: QuantConfig, refp, p, i, channel
-) -> SlotResult:
+    state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None
+):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
     Baseline evaluated in-batch (see _slot_random)."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
@@ -331,32 +371,44 @@ def _slot_channel(
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
     cand5 = jnp.concatenate([current[None, :], sweep5], axis=0)
-    errors, apply = _slot_machinery(state, config, p, i)
+    errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     errs = errors(refp, cand5)
     base_err = errs[0]
     bidx = jnp.argmin(errs[1:])
     bmin = errs[1:][bidx]
     accept = bmin < base_err
     color = jnp.where(accept, sweep5[bidx], current)
-    return SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
+    res = SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
+    return res, new_cache(color)
 
 
-def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i) -> SlotResult:
+def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i, cache=None):
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
     with the best NES color (best_error starts at MAX, src/lib.rs:242-284)."""
     cand5 = jnp.asarray(NES_PALETTE_5BIT)
-    errors, apply = _slot_machinery(state, config, p, i)
+    errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     errs = errors(refp, cand5)
     bidx = jnp.argmin(errs)
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     color = cand5[bidx]
     changed = jnp.any(color != current)
-    return SlotResult(apply(color), errs[bidx], changed)
+    res = SlotResult(apply(color), errs[bidx], changed)
+    return res, new_cache(color)
 
 
-refine_slot_random = partial(jax.jit, static_argnames=("config",))(_slot_random)
-refine_slot_channel = partial(jax.jit, static_argnames=("config",))(_slot_channel)
-refine_slot_nes = partial(jax.jit, static_argnames=("config",))(_slot_nes)
+@partial(jax.jit, static_argnames=("config",))
+def refine_slot_random(state, config: QuantConfig, refp, key, p, i) -> SlotResult:
+    return _slot_random(state, config, refp, key, p, i)[0]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def refine_slot_channel(state, config: QuantConfig, refp, p, i, channel) -> SlotResult:
+    return _slot_channel(state, config, refp, p, i, channel)[0]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def refine_slot_nes(state, config: QuantConfig, refp, p, i) -> SlotResult:
+    return _slot_nes(state, config, refp, p, i)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +420,20 @@ refine_slot_nes = partial(jax.jit, static_argnames=("config",))(_slot_nes)
 # sequentially dependent). These fori_loop versions run the whole sweep in
 # one XLA program — the host sees only the final state. Key-split order
 # matches the host loop exactly, so both paths produce identical states.
+#
+# On the undithered path the sweeps carry the (H, W, S) distance cache and
+# (perceptual mode) the precomputed target Lab image across slot visits —
+# each accepted color performs a rank-1 column update instead of a full
+# O(H*W*S) distance recompute per slot.
+
+
+def _init_cache(state: QuantState, config: QuantConfig):
+    if config.dither:
+        return None
+    target_lab = (
+        srgb_u8_to_lab(state.rgb) if config.perceptual_palettes else None
+    )
+    return (compute_d_all(state, config), target_lab)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -377,14 +443,14 @@ def sweep_random(state: QuantState, config: QuantConfig, refp, key) -> SlotResul
     s = config.subpalette_size
 
     def body(k, carry):
-        state, key, _ = carry
+        state, key, _, cache = carry
         key, sub = jax.random.split(key)
-        res = _slot_random(state, config, refp, sub, k // s, k % s)
-        return res.state, key, res.error
+        res, cache = _slot_random(state, config, refp, sub, k // s, k % s, cache)
+        return res.state, key, res.error, cache
 
     n = config.subpalette_count * s
-    state, _, err = jax.lax.fori_loop(
-        0, n, body, (state, key, jnp.float32(jnp.inf))
+    state, _, err, _ = jax.lax.fori_loop(
+        0, n, body, (state, key, jnp.float32(jnp.inf), _init_cache(state, config))
     )
     return SlotResult(state, err, jnp.bool_(True))
 
@@ -396,15 +462,17 @@ def sweep_channel(state: QuantState, config: QuantConfig, refp) -> SlotResult:
     s = config.subpalette_size
 
     def body(k, carry):
-        state, _ = carry
+        state, _, cache = carry
         p = k // (s * 3)
         i = (k // 3) % s
         ch = k % 3
-        res = _slot_channel(state, config, refp, p, i, ch)
-        return res.state, res.error
+        res, cache = _slot_channel(state, config, refp, p, i, ch, cache)
+        return res.state, res.error, cache
 
     n = config.subpalette_count * s * 3
-    state, err = jax.lax.fori_loop(0, n, body, (state, jnp.float32(jnp.inf)))
+    state, err, _ = jax.lax.fori_loop(
+        0, n, body, (state, jnp.float32(jnp.inf), _init_cache(state, config))
+    )
     return SlotResult(state, err, jnp.bool_(True))
 
 
@@ -415,10 +483,12 @@ def sweep_nes(state: QuantState, config: QuantConfig, refp) -> SlotResult:
     s = config.subpalette_size
 
     def body(k, carry):
-        state, _ = carry
-        res = _slot_nes(state, config, refp, k // s, k % s)
-        return res.state, res.error
+        state, _, cache = carry
+        res, cache = _slot_nes(state, config, refp, k // s, k % s, cache)
+        return res.state, res.error, cache
 
     n = config.subpalette_count * s
-    state, err = jax.lax.fori_loop(0, n, body, (state, jnp.float32(jnp.inf)))
+    state, err, _ = jax.lax.fori_loop(
+        0, n, body, (state, jnp.float32(jnp.inf), _init_cache(state, config))
+    )
     return SlotResult(state, err, jnp.bool_(True))
