@@ -33,6 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nes", action="store_true")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--schedule", choices=["reference", "channel"], default="reference")
     p.add_argument("--trials", type=int, default=64)
     p.add_argument("--limit", type=int, help="Only process the first N images")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -68,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
             max_steps=args.steps,
             random_trials=args.trials,
+            schedule=args.schedule,
         )
         indir = pathlib.Path(args.input_dir)
         outdir = pathlib.Path(args.output_dir)

@@ -8,24 +8,31 @@ inside one Mosaic program with the error window carried in VMEM, reducing
 per-column cost to the actual dependent compute.
 
 Layout: everything is (columns, X, H) with the image row axis H on the
-128-wide LANE dimension — e.g. the per-pixel subpalette colors are
-(CHUNK, 3*S, H) with channel-major rows. A naive (CHUNK, H, S, 3) layout
-tile-pads (S, 3) -> (16, 128) and inflates VMEM 42x past its capacity.
+128-wide LANE dimension. A naive (CHUNK, H, S, 3) layout tile-pads
+(S, 3) -> (16, 128) and inflates VMEM 42x past its capacity.
 
 Structure:
   grid = (B, WS/CHUNK)        # candidates x column chunks, chunk-fastest
   inputs per chunk (shared across candidates, streamed HBM->VMEM):
     orig_sk  (CHUNK, 3, H) f32     skewed source columns
-    sub_sk   (CHUNK, 3*S, H) f32   per-pixel subpalette entry colors
-                                   (8-bit values as f32), CURRENT palette,
-                                   rows ordered channel-major [c*S + s]
+    tp_sk    (CHUNK, H) i32        subpalette id per pixel; the kernel
+                                   rebuilds each pixel's subpalette rows
+                                   from the tiny (C, 3*S) entry table with
+                                   C static selects (materializing the
+                                   (WS, H, S, 3) gather in HBM dominated
+                                   everything else)
     aff_sk   (CHUNK, H) i32        1 where the pixel's tile uses palette p
     alpha_sk (CHUNK, H) i32        opacity
     xof_sk   (CHUNK, H) i32        source x (-1 outside the skewed region)
-  per-candidate scalars (SMEM): cand8 (B, 3) f32 and the slot entry index.
+  SMEM: cand8 (B, 3) f32 candidate colors and the slot entry index.
   carry: the (9, H) error window for columns c..c+2, persisted across
   chunks in VMEM scratch (the grid iterates candidate-major, so chunks of
   one candidate run consecutively and the window resets at chunk 0).
+
+vmap does NOT compose with this kernel (shared operands broadcast
+pathologically, >10 min compiles) — the candidate batch is an explicit
+grid dimension, and batched multi-image callers must use the XLA fallback
+(see parallel/batch.py `_no_pallas_under_vmap`).
 
 Candidate semantics: distances go to the shared current-palette entries,
 with entry ``i``'s row replaced by the distance to the candidate color for

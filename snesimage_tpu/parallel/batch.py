@@ -16,6 +16,8 @@ accept decisions), which keeps the computation SPMD across the mesh.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from functools import partial
 
 import jax
@@ -65,6 +67,22 @@ def shard_states(states: QuantState, mesh: Mesh) -> QuantState:
 
 # Batched versions of the pipeline stages: vmap over the state, config
 # static. jit(vmap(...)) lets XLA partition over the sharded batch axis.
+
+
+@contextlib.contextmanager
+def _no_pallas_under_vmap():
+    """The Pallas kernels are written with explicit batch grids and hang
+    when vmapped (see ops/pallas_dither.py); batched stages trace their
+    XLA fallbacks instead. The flag is read at trace time only."""
+    old = os.environ.get("SNESIMAGE_NO_PALLAS")
+    os.environ["SNESIMAGE_NO_PALLAS"] = "1"
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop("SNESIMAGE_NO_PALLAS", None)
+        else:
+            os.environ["SNESIMAGE_NO_PALLAS"] = old
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -152,18 +170,24 @@ def batched_optimize(
     key = jax.random.key(config.seed)
     step_errors: list[float] = []
 
-    for step in range(max_steps):
-        is_random = step % 5 < 4
-        if config.nes:
-            res = bsweep_nes(states, config, refp)
-        elif is_random:
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, b)
-            res = bsweep_random(states, config, refp, keys)
-        else:
-            res = bsweep_channel(states, config, refp)
-        states = res.state
-        step_errors.append(float(jnp.mean(res.error)))
+    from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
+
+    with _no_pallas_under_vmap():
+        for step in range(max_steps):
+            if config.schedule == "channel":
+                is_random = False
+            else:
+                is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+            if config.nes:
+                res = bsweep_nes(states, config, refp)
+            elif is_random:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, b)
+                res = bsweep_random(states, config, refp, keys)
+            else:
+                res = bsweep_channel(states, config, refp)
+            states = res.state
+            step_errors.append(float(jnp.mean(res.error)))
 
     return states, step_errors
 
@@ -179,6 +203,7 @@ def batched_run(
     states = make_batched_states(images, config)
     if mesh is not None:
         states = shard_states(states, mesh)
-    states = binit(states, config)
-    states = bcluster(states, config)
+    with _no_pallas_under_vmap():
+        states = binit(states, config)
+        states = bcluster(states, config)
     return batched_optimize(states, config, mesh=None, max_steps=max_steps)
