@@ -119,8 +119,6 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.resume:
-            from snesimage_tpu.core.state import QuantState  # noqa: F401
-
             state, config, meta = load_checkpoint(args.resume)
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
             errors = list(meta["errors"])

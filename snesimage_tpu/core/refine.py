@@ -11,10 +11,13 @@ axis is a tensor batch:
 - the metric's reference-side pyramid is precomputed once per image
   (ops/ssimulacra2.py) and shared across every candidate ever evaluated;
 - the undithered remap is *incremental*: distances to the S-1 unchanged
-  entries are computed once per slot visit, each candidate contributes a
-  single distance column, and the reference's strict-less-than /
-  first-index tie semantics are reproduced exactly (src/lib.rs:780-792);
-- the dithered path vmaps the wavefront scan of ops/dither.py.
+  entries are computed once per slot visit (and carried across slots by
+  the on-device sweeps as a rank-1-updated cache), each candidate
+  contributes a single distance column, and the reference's
+  strict-less-than / first-index tie semantics are reproduced exactly
+  (src/lib.rs:780-792);
+- the dithered path runs the fused Pallas wavefront kernel per candidate
+  (ops/pallas_dither.py; XLA scan fallback off-TPU).
 
 Selection semantics preserved: random/channel keep the current color
 unless a candidate is strictly better than the current error
@@ -49,7 +52,6 @@ from snesimage_tpu.ops.remap import (
     entry_distances,
     remap_undithered,
     render_linear,
-    render_rgb8,
 )
 from snesimage_tpu.ops.ssimulacra2 import (
     reference_pyramid,
