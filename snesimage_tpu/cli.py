@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--nes", action="store_true", help="Restrict to NES-like colors")
     # Framework extensions.
+    from snesimage_tpu.models.presets import PRESETS
+
+    p.add_argument(
+        "--preset", choices=sorted(PRESETS),
+        help="Hardware-target preset for the palette geometry (e.g. "
+        "snes-mode1-bg12 = 8x15, nes-compat = 4x3 NES); explicit -c/-s/"
+        "--nes flags override preset fields",
+    )
     p.add_argument(
         "--steps", type=int, default=8,
         help="Full optimization sweeps (the reference runs forever)",
@@ -123,12 +131,26 @@ def main(argv: list[str] | None = None) -> int:
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
             errors = list(meta["errors"])
         else:
-            config = QuantConfig(
+            geometry = dict(
                 subpalette_count=args.subpalette_count,
                 subpalette_size=args.subpalette_size,
                 dither=args.dither,
                 perceptual_palettes=args.perceptual_palettes,
                 nes=args.nes,
+            )
+            if args.preset:
+                from snesimage_tpu.models.presets import preset_fields
+
+                base = preset_fields(args.preset)
+                defaults = build_parser()
+                # explicit flags override preset fields (flags left at
+                # their parser defaults defer to the preset)
+                for k, v in geometry.items():
+                    if v != defaults.get_default(k):
+                        base[k] = v
+                geometry = base
+            config = QuantConfig(
+                **geometry,
                 seed=args.seed,
                 max_steps=args.steps,
                 converge_tol=args.tol,

@@ -89,3 +89,24 @@ def test_batch_cli_empty_dir(tmp_path):
     (tmp_path / "empty").mkdir()
     rc = batch_main([str(tmp_path / "empty"), str(tmp_path / "out")])
     assert rc == 1
+
+
+def test_presets():
+    from snesimage_tpu.models import PRESETS, get_preset
+
+    cfg = get_preset("snes-mode1-bg12")
+    assert (cfg.subpalette_count, cfg.subpalette_size) == (8, 15)
+    cfg = get_preset("nes-compat")
+    assert cfg.nes and (cfg.subpalette_count, cfg.subpalette_size) == (4, 3)
+    cfg = get_preset("nes-compat", subpalette_size=7)
+    assert cfg.subpalette_size == 7
+    assert len(PRESETS) >= 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_preset("bogus")
+
+
+def test_parser_preset_flag():
+    a = build_parser().parse_args(["a", "b", "--preset", "nes-compat"])
+    assert a.preset == "nes-compat"
