@@ -76,10 +76,16 @@ def lloyd_kmeans(
 
     # First k valid points in priority order: stable-sort priority-ordered
     # validity so valid points come first, preserving order among them.
+    # When fewer than k valid points exist (e.g. a subpalette with no
+    # assigned opaque pixels — the reference's cogset would see an empty
+    # input), the surplus centers are zeroed: they come out as black
+    # entries, matching the reference's all-black initial palette
+    # (src/lib.rs:756).
     ordered_mask = mask[order]
     ranks = jnp.argsort(~ordered_mask, stable=True)
     init_idx = order[ranks[:k]]
-    centers0 = data[init_idx]
+    rank_valid = jnp.arange(k) < jnp.sum(mask)
+    centers0 = jnp.where(rank_valid[:, None], data[init_idx], 0.0)
 
     maskf = mask.astype(jnp.float32)[:, None]  # (N, 1)
 

@@ -81,3 +81,23 @@ def test_vmapped_over_masks(rng):
         jnp.asarray(masks)
     )
     assert res.centers.shape == (2, 3, 3)
+
+
+def test_no_valid_points_gives_zero_centers():
+    """A subpalette with no assigned opaque pixels must come out all-black
+    (the reference's initial palette state, src/lib.rs:756), not garbage
+    colors from masked-out data."""
+    data = np.full((50, 3), 123.0, dtype=np.float32)
+    mask = np.zeros(50, dtype=bool)
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 4)
+    np.testing.assert_array_equal(np.asarray(res.centers), 0.0)
+
+
+def test_fewer_valid_than_k_zeroes_surplus():
+    data = np.full((10, 3), 50.0, dtype=np.float32)
+    mask = np.arange(10) < 2  # two valid points
+    res = lloyd_kmeans(jnp.asarray(data), jnp.asarray(mask), 4)
+    c = np.asarray(res.centers)
+    assert (c[0] == 50.0).all()
+    # surplus centers stay at black unless points migrate to them
+    assert (c[2:] == 0.0).all() or (c[2:] == 50.0).all()
