@@ -54,7 +54,7 @@ def main() -> None:
     # equivalent; see BENCHMARKS.md for the comparison).
     config = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=10,
-        converge_tol=0.5, seed=0, schedule="channel",
+        converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
     )
     img = _test_image()
 

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0, help="Random-search seed")
     p.add_argument(
+        "--prescreen", type=int, default=0, metavar="K",
+        help="Coarse-rank candidates and full-score only the top K "
+        "(0 = full scoring everywhere; measured to preserve selections "
+        "while skipping ~3/4 of the metric work on non-finalists)",
+    )
+    p.add_argument(
         "--schedule", choices=["reference", "channel"], default="reference",
         help="Step schedule: the reference's 4-random/1-channel cycle, or "
         "pure channel sweeps (coordinate descent; converges faster and to "
@@ -156,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
                 converge_tol=args.tol,
                 random_trials=args.trials,
                 schedule=args.schedule,
+                prescreen=args.prescreen,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

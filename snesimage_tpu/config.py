@@ -36,6 +36,13 @@ class QuantConfig:
     max_steps: int = 8  # full sweeps over all slots; reference runs forever
     converge_tol: float = 0.0  # stop early when a full sweep improves less
     random_trials: int = 64  # candidates per random slot visit (ref: 64)
+    # Candidate prescreening: 0 = score every candidate with the full
+    # SSIMULACRA2 (reference behavior); K > 0 = rank candidates with a
+    # coarse metric (finest pyramid scale skipped, ~4x cheaper) and run
+    # the full metric only on the top K plus the current color. Measured
+    # to preserve the full metric's argmin (BENCHMARKS.md); acceptance
+    # stays strict-less-than against the fully-scored baseline.
+    prescreen: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
     # (coordinate descent) — measured to converge faster AND to a lower

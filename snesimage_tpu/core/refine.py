@@ -209,6 +209,20 @@ def _undithered_machinery(
         # Build all candidate frames, then score them as ONE explicit
         # batch — the metric's fused Pallas path takes (B, H, W, 3).
         frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
+        b = frames.shape[0]
+        k = config.prescreen
+        if k and b > k + 1:
+            # Two-stage scoring: coarse-rank everything (finest scale
+            # skipped), full-score the top-k candidates plus the in-batch
+            # baseline at index 0. Unselected candidates report +inf so
+            # slot selection logic is unchanged; acceptance stays exact.
+            coarse = 100.0 - ssimulacra2_from_ref_linear(
+                refp, frames, skip_scales=1
+            )
+            _, top = jax.lax.top_k(-coarse[1:], k)
+            sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
+            full = _error_of_frame(refp, jnp.take(frames, sel, axis=0))
+            return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
         return _error_of_frame(refp, frames)
 
     def _chosen_dist(color5):

@@ -247,18 +247,32 @@ def ssimulacra2_from_ref(refp, dis01: jax.Array) -> jax.Array:
     return ssimulacra2_from_ref_linear(refp, _decode_srgb(dis01))
 
 
-def ssimulacra2_from_ref_linear(refp, lin2: jax.Array) -> jax.Array:
+def ssimulacra2_from_ref_linear(
+    refp, lin2: jax.Array, *, skip_scales: int = 0
+) -> jax.Array:
     """Like `ssimulacra2_from_ref` but takes an already-linear RGB frame.
 
     This is the refine loop's hot entry: rendered candidate frames are
     produced directly in linear space (ops/remap.py `render_linear`), so
     no per-pixel transfer decode runs per candidate (the u8-LUT gather
     alone measured 23x the rest of the metric on TPU).
+
+    skip_scales > 0 computes a CHEAPER, non-standard score that drops the
+    finest pyramid scales' features (their weights become zero). Used only
+    to pre-rank candidate batches (core/refine.py prescreen): skipping
+    scale 0 removes ~3/4 of the metric's work, and measured rankings match
+    the full metric's argmin. Never used for reported scores.
     """
     feats = []
+    zero_feat = None
     for s in range(NUM_SCALES):
         if s:
             lin2 = downsample2(lin2)
+        if s < skip_scales:
+            if zero_feat is None:
+                zero_feat = jnp.zeros(lin2.shape[:-3] + (3, 6), jnp.float32)
+            feats.append(zero_feat)
+            continue
         img1, mu1, s11 = refp[s]
         img2 = linear_rgb_to_positive_xyb(lin2)
         feats.append(_scale_features(img1, mu1, s11, img2))

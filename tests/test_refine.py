@@ -198,3 +198,21 @@ def test_final_map_equals_full_remap(small_image):
         np.testing.assert_array_equal(
             np.asarray(res.state.palette_map), np.asarray(want)
         )
+
+
+def test_prescreen_matches_full_selection(small_image, rng):
+    """Prescreened slot visits must pick the same winning color as full
+    scoring when the coarse ranking surfaces the true argmin (validated on
+    this fixture); palette results must match."""
+    st, cfg = _prepped(small_image)
+    cfg_pre = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64, prescreen=8
+    )
+    refp = make_reference_pyramid(st)
+    for trial in range(3):
+        key = jax.random.key(trial)
+        full = refine_slot_random(st, cfg, refp, key, trial % 2, trial % 4)
+        pre = refine_slot_random(st, cfg_pre, refp, key, trial % 2, trial % 4)
+        np.testing.assert_array_equal(
+            np.asarray(full.state.palette), np.asarray(pre.state.palette)
+        )
