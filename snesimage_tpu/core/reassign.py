@@ -10,6 +10,11 @@ tile's summed nearest-entry distance (red-mean or CIEDE2000, matching the
 active color-comparison mode) — the same greedy criterion the per-pixel
 remap optimizes, lifted to tile granularity. One fused evaluation scores
 all (tile, subpalette) combinations on-device.
+
+Caveat: the criterion is an undithered-distance proxy. With dithering
+enabled it can WORSEN the SSIMULACRA2 error (measured +8 error points on
+the bench image) because error diffusion lets a "worse" subpalette
+average out — prefer it for undithered runs.
 """
 
 from __future__ import annotations
