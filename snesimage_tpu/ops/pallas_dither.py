@@ -2,48 +2,47 @@
 
 The XLA `lax.scan` formulation of ops/dither.py is correct but pays the
 XLA while-loop per-iteration overhead — measured ~44 us/iteration on v5e
-even for a one-op dependent carry, i.e. ~34 ms per 766-column wavefront
-and ~270 ms per 65-candidate slot visit. This kernel runs the entire scan
-inside one Mosaic program with the error window carried in VMEM, reducing
-per-column cost to the actual dependent compute.
+even for a one-op dependent carry, i.e. ~34 ms per 766-column wavefront.
+This kernel runs the entire scan inside one Mosaic program with the error
+window carried in VMEM, and — crucially — processes ALL candidate colors
+of a slot visit simultaneously per column: the scan's dependent chain is
+walked once, with (B, H) vector work per step, instead of B serialized
+766-step chains.
 
-Layout: everything is (columns, X, H) with the image row axis H on the
-128-wide LANE dimension. A naive (CHUNK, H, S, 3) layout tile-pads
-(S, 3) -> (16, 128) and inflates VMEM 42x past its capacity.
+Layouts keep the image row axis H on the 128-wide LANE dimension and the
+candidate axis B on sublanes; per-step values are (B, H) tiles. The
+nearest-entry argmin runs as a static unrolled loop over the S palette
+entries with strict-less-than updates (first index wins, the reference's
+tie rule, src/lib.rs:780-792). Per-pixel subpalette colors are rebuilt
+per column from the tiny (C, 3*S) entry table with C static selects
+(materializing a (WS, H, S, 3) gather in HBM dominated everything else).
 
 Structure:
-  grid = (B, WS/CHUNK)        # candidates x column chunks, chunk-fastest
-  inputs per chunk (shared across candidates, streamed HBM->VMEM):
-    orig_sk  (CHUNK, 3, H) f32     skewed source columns
-    tp_sk    (CHUNK, H) i32        subpalette id per pixel; the kernel
-                                   rebuilds each pixel's subpalette rows
-                                   from the tiny (C, 3*S) entry table with
-                                   C static selects (materializing the
-                                   (WS, H, S, 3) gather in HBM dominated
-                                   everything else)
-    aff_sk   (CHUNK, H) i32        1 where the pixel's tile uses palette p
-    alpha_sk (CHUNK, H) i32        opacity
-    xof_sk   (CHUNK, H) i32        source x (-1 outside the skewed region)
-  SMEM: cand8 (B, 3) f32 candidate colors and the slot entry index.
-  carry: the (9, H) error window for columns c..c+2, persisted across
-  chunks in VMEM scratch (the grid iterates candidate-major, so chunks of
-  one candidate run consecutively and the window resets at chunk 0).
-
-vmap does NOT compose with this kernel (shared operands broadcast
-pathologically, >10 min compiles) — the candidate batch is an explicit
-grid dimension, and batched multi-image callers must use the XLA fallback
-(see parallel/batch.py `_no_pallas_under_vmap`).
+  grid = (WS/CHUNK,)           # column chunks, sequential
+  per-chunk inputs (streamed HBM->VMEM):
+    orig_sk  (CHUNK, 3, H) f32   skewed source columns
+    tp_sk    (CHUNK, H) i32      subpalette id per pixel
+    aff_sk   (CHUNK, H) i32      1 where the pixel's tile uses palette p
+    alpha_sk (CHUNK, H) i32      opacity
+    xof_sk   (CHUNK, H) i32      source x (-1 outside the skewed region)
+  whole-array inputs: entries (C, 3*S) f32 in VMEM; cand_cols (3, B, H)
+  f32 (candidate colors pre-broadcast along H); the slot entry index in
+  SMEM.
+  output: (WS/CHUNK blocks of) (CHUNK, B, H) i32 palette-map columns.
+  carry: nine (B, H) error-window planes (columns c..c+2 x rgb),
+  persisted across chunks in a (9, B, H) VMEM scratch.
 
 Candidate semantics: distances go to the shared current-palette entries,
-with entry ``i``'s row replaced by the distance to the candidate color for
-affected pixels — the same incremental trick as the undithered path
-(core/refine.py), so candidate palettes are never materialized.
+with entry ``i``'s distance replaced by the distance to each candidate's
+color for affected pixels — the same incremental trick as the undithered
+path (core/refine.py), so candidate palettes are never materialized.
 
 Scope: red-mean distance only (BASELINE config 3). The perceptual+dither
 combination keeps the XLA scan (CIEDE2000 inside the dependent loop).
-Distances here are f32 (the reference's f64 strict-< ties can flip on
-exact equality; the dither path is already tolerance-validated against
-the serial C++ oracle).
+Distances are f32 (the reference's f64 strict-< ties can flip on exact
+equality; the dither path is tolerance-validated against the serial C++
+oracle). vmap does NOT compose with this kernel — batched multi-image
+callers use the XLA fallback (parallel/batch.py `_no_pallas_under_vmap`).
 
 Reference semantics implemented: src/lib.rs:425-501 (scan order, 0.8
 damping, FS weights, transparent error pass-through, clamp+round target,
@@ -62,32 +61,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from snesimage_tpu.constants import DITHER_DAMPING, DITHER_WEIGHTS
 
-_CHUNK = 64
+_CHUNK = 32
 
 
 @functools.lru_cache(maxsize=None)
-def _make_kernel(img_w: int, s_entries: int, c_subpals: int):
+def _make_kernel(img_w: int, s_entries: int, c_subpals: int, b_cands: int):
     wgt = np.asarray(DITHER_WEIGHTS, dtype=np.float32) * np.float32(DITHER_DAMPING)
     s = s_entries
+    b = b_cands
 
-    def kernel(i_ref, cand_ref, ent_ref, orig_ref, tp_ref, aff_ref, alpha_ref,
+    def kernel(i_ref, ent_ref, cand_ref, orig_ref, tp_ref, aff_ref, alpha_ref,
                xof_ref, out_ref, err_ref):
-        bi = pl.program_id(0)
-        w_chunk = pl.program_id(1)
+        w_chunk = pl.program_id(0)
         h = orig_ref.shape[2]
         i_entry = i_ref[0]
-        cr = cand_ref[bi, 0]
-        cg = cand_ref[bi, 1]
-        cb = cand_ref[bi, 2]
+        cand_r = cand_ref[0]  # (B, H)
+        cand_g = cand_ref[1]
+        cand_b = cand_ref[2]
 
         @pl.when(w_chunk == 0)
         def _():
             err_ref[...] = jnp.zeros_like(err_ref)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, h), 0)  # entry idx
-
-        def redmean_rows(tr, tg, tb, er, eg, eb):
-            """(1|S, H) channel rows -> 512*red-mean^2 (S, H)."""
+        def redmean(tr, tg, tb, er, eg, eb):
+            """512 * red-mean^2 on (B, H) channel planes."""
             dr = tr - er
             dg = tg - eg
             db = tb - eb
@@ -99,67 +96,98 @@ def _make_kernel(img_w: int, s_entries: int, c_subpals: int):
             )
 
         def step(k, err_win):
+            # err_win: tuple of 9 (B, H) planes, [col*3 + channel].
             orig = orig_ref[k]  # (3, H)
-            # Rebuild each pixel's subpalette rows from the tiny entry
-            # table with C static selects — materializing a
-            # (WS, H, S, 3) gather in HBM dominated everything else.
             tp_row = tp_ref[k][None, :]  # (1, H) int32
-            sub = jnp.zeros((3 * s, h), jnp.float32)
-            for c in range(c_subpals):
-                m = (tp_row == c).astype(jnp.float32)  # (1, H)
-                sub = sub + ent_ref[c][:, None] * m  # (3S, 1) * (1, H)
             aff = aff_ref[k][None, :] > 0  # (1, H)
             opaque = alpha_ref[k][None, :] > 0
-            x1 = xof_ref[k][None, :]  # (1, H)
+            x1 = xof_ref[k][None, :]
             valid = x1 >= 0
 
-            target = orig + err_win[0:3]  # (3, H)
-            t_u8 = jnp.floor(jnp.clip(target, 0.0, 255.0) + 0.5)
-            tr, tg, tb = t_u8[0:1], t_u8[1:2], t_u8[2:3]  # (1, H)
+            # Per-pixel subpalette entry colors for this column, from the
+            # tiny entry table: 3*S rows of (1, H).
+            sub_rows = []
+            for e_row in range(3 * s):
+                acc = jnp.zeros((1, h), jnp.float32)
+                for c in range(c_subpals):
+                    acc = acc + jnp.where(tp_row == c, ent_ref[c, e_row], 0.0)
+                sub_rows.append(acc)
 
-            sub_r = sub[0:s]
-            sub_g = sub[s : 2 * s]
-            sub_b = sub[2 * s : 3 * s]
-            d = redmean_rows(tr, tg, tb, sub_r, sub_g, sub_b)  # (S, H)
-            d_c = redmean_rows(tr, tg, tb, cr, cg, cb)  # (1, H)
-            d = jnp.where(aff & (row_ids == i_entry), d_c, d)
+            # unrounded targets (used for the diffused error) and their
+            # clamp+round-half-away u8 forms (used for distances),
+            # reference src/lib.rs:441-451, 773-778; (B, H) planes
+            t0_r = orig[0][None, :] + err_win[0]
+            t0_g = orig[1][None, :] + err_win[1]
+            t0_b = orig[2][None, :] + err_win[2]
+            tr = jnp.floor(jnp.clip(t0_r, 0.0, 255.0) + 0.5)
+            tg = jnp.floor(jnp.clip(t0_g, 0.0, 255.0) + 0.5)
+            tb = jnp.floor(jnp.clip(t0_b, 0.0, 255.0) + 0.5)
 
-            idx = jnp.argmin(d, axis=0)[None, :].astype(jnp.int32)  # (1, H)
-            onehot = (row_ids == idx).astype(jnp.float32)  # (S, H)
-            nc_r = jnp.sum(sub_r * onehot, axis=0, keepdims=True)
-            nc_g = jnp.sum(sub_g * onehot, axis=0, keepdims=True)
-            nc_b = jnp.sum(sub_b * onehot, axis=0, keepdims=True)
-            new_color = jnp.concatenate([nc_r, nc_g, nc_b], axis=0)  # (3, H)
-            use_cand = aff & (idx == i_entry)  # (1, H)
-            cand_col = jnp.concatenate(
-                [jnp.full((1, h), c, jnp.float32) for c in (cr, cg, cb)], axis=0
-            )
-            new_color = jnp.where(use_cand, cand_col, new_color)
+            best_d = None
+            best_i = jnp.zeros((b, h), jnp.int32)
+            nc_r = jnp.zeros((b, h), jnp.float32)
+            nc_g = jnp.zeros((b, h), jnp.float32)
+            nc_b = jnp.zeros((b, h), jnp.float32)
+            for s_idx in range(s):
+                er, eg, eb = sub_rows[s_idx], sub_rows[s + s_idx], sub_rows[2 * s + s_idx]
+                # candidate override at the slot entry, affected pixels only
+                is_slot = s_idx == i_entry  # traced bool scalar
+                ovr = jnp.logical_and(is_slot, aff)  # (1, H)
+                e_r = jnp.where(ovr, cand_r, er)  # (B, H)
+                e_g = jnp.where(ovr, cand_g, eg)
+                e_b = jnp.where(ovr, cand_b, eb)
+                d_s = redmean(tr, tg, tb, e_r, e_g, e_b)
+                if best_d is None:
+                    best_d = d_s
+                    nc_r = jnp.broadcast_to(e_r, (b, h))
+                    nc_g = jnp.broadcast_to(e_g, (b, h))
+                    nc_b = jnp.broadcast_to(e_b, (b, h))
+                else:
+                    upd = d_s < best_d  # strict <: first index wins ties
+                    best_d = jnp.where(upd, d_s, best_d)
+                    best_i = jnp.where(upd, s_idx, best_i)
+                    nc_r = jnp.where(upd, e_r, nc_r)
+                    nc_g = jnp.where(upd, e_g, nc_g)
+                    nc_b = jnp.where(upd, e_b, nc_b)
 
-            perr = jnp.where(opaque & valid, target - new_color, err_win[0:3])
-            perr = jnp.where(valid, perr, 0.0)
+            live = opaque & valid  # (1, H)
+            pe_r = jnp.where(live, t0_r - nc_r, err_win[0])
+            pe_g = jnp.where(live, t0_g - nc_g, err_win[1])
+            pe_b = jnp.where(live, t0_b - nc_b, err_win[2])
+            pe_r = jnp.where(valid, pe_r, 0.0)
+            pe_g = jnp.where(valid, pe_g, 0.0)
+            pe_b = jnp.where(valid, pe_b, 0.0)
 
-            m_e = valid & (x1 + 1 < img_w)  # (1, H)
-            m_sw = (x1 > 0) & valid
-            m_s = valid
+            m_e = (valid & (x1 + 1 < img_w)).astype(jnp.float32)
+            m_sw = ((x1 > 0) & valid).astype(jnp.float32)
+            m_s = valid.astype(jnp.float32)
 
-            def down(a):  # shift along H (rows of the image): lanes
+            def down(a):  # shift along H (image rows): lanes
                 return jnp.concatenate(
-                    [jnp.zeros((3, 1), jnp.float32), a[:, :-1]], axis=1
+                    [jnp.zeros((b, 1), jnp.float32), a[:, :-1]], axis=1
                 )
 
-            add1 = perr * wgt[0] * m_e + down(perr * wgt[1] * m_sw)
-            add2 = down(perr * wgt[2] * m_s)
-            add3 = down(perr * wgt[3] * m_e)
+            def diffused(pe):
+                a1 = pe * wgt[0] * m_e + down(pe * wgt[1] * m_sw)
+                a2 = down(pe * wgt[2] * m_s)
+                a3 = down(pe * wgt[3] * m_e)
+                return a1, a2, a3
 
-            new_win = jnp.concatenate(
-                [err_win[3:6] + add1, err_win[6:9] + add2, add3], axis=0
+            a1r, a2r, a3r = diffused(pe_r)
+            a1g, a2g, a3g = diffused(pe_g)
+            a1b, a2b, a3b = diffused(pe_b)
+
+            out_ref[k] = jnp.where(live, best_i, 0)
+            return (
+                err_win[3] + a1r, err_win[4] + a1g, err_win[5] + a1b,
+                err_win[6] + a2r, err_win[7] + a2g, err_win[8] + a2b,
+                a3r, a3g, a3b,
             )
-            out_ref[0, k] = jnp.where(opaque & valid, idx, 0)[0]
-            return new_win
 
-        err = jax.lax.fori_loop(0, orig_ref.shape[0], step, err_ref[...])
-        err_ref[...] = err
+        err0 = tuple(err_ref[j] for j in range(9))
+        err = jax.lax.fori_loop(0, orig_ref.shape[0], step, err0)
+        for j in range(9):
+            err_ref[j] = err[j]
 
     return kernel
 
@@ -178,7 +206,8 @@ def dither_remap_candidates(
     img_w: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full dithered remap for B candidate colors of one palette slot.
+    """Full dithered remap for B candidate colors of one palette slot,
+    all candidates advancing through the wavefront together.
 
     Returns (B, WSp, H) int32 palette-map columns in skewed layout.
     """
@@ -189,23 +218,26 @@ def dither_remap_candidates(
     nchunk = wsp // _CHUNK
     b = cand8.shape[0]
 
+    # Candidate colors pre-broadcast along H: (3, B, H).
+    cand_cols = jnp.broadcast_to(
+        cand8.astype(jnp.float32).T[:, :, None], (3, b, h)
+    )
+
     def shared(blk):
         ndim = len(blk)
         return pl.BlockSpec(
             blk,
-            lambda bi, wi: (wi,) + (0,) * (ndim - 1),
+            lambda wi: (wi,) + (0,) * (ndim - 1),
             memory_space=pltpu.VMEM,
         )
 
-    return pl.pallas_call(
-        _make_kernel(img_w, s3 // 3, c_subpals),
-        grid=(b, nchunk),
+    out = pl.pallas_call(
+        _make_kernel(img_w, s3 // 3, c_subpals, b),
+        grid=(nchunk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (c_subpals, s3), lambda bi, wi: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # entry table: scalar reads
+            pl.BlockSpec((3, b, h), lambda wi: (0, 0, 0), memory_space=pltpu.VMEM),
             shared((_CHUNK, 3, h)),
             shared((_CHUNK, h)),
             shared((_CHUNK, h)),
@@ -213,18 +245,19 @@ def dither_remap_candidates(
             shared((_CHUNK, h)),
         ],
         out_specs=pl.BlockSpec(
-            (1, _CHUNK, h), lambda bi, wi: (bi, wi, 0), memory_space=pltpu.VMEM
+            (_CHUNK, b, h), lambda wi: (wi, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, wsp, h), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((9, h), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((wsp, b, h), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, b, h), jnp.float32)],
         interpret=interpret,
     )(
         jnp.atleast_1d(jnp.asarray(i_entry, dtype=jnp.int32)),
-        cand8.astype(jnp.float32),
         entries.astype(jnp.float32),
+        cand_cols,
         orig_sk.astype(jnp.float32),
         tp_sk.astype(jnp.int32),
         aff_sk.astype(jnp.int32),
         alpha_sk.astype(jnp.int32),
         xof_sk.astype(jnp.int32),
     )
+    return jnp.moveaxis(out, 0, 1)  # (B, WSp, H)
