@@ -18,10 +18,27 @@ import logging
 import sys
 
 
+class _ColorFormatter(logging.Formatter):
+    """Colored level names on TTYs (the reference colors its fern levels:
+    green INFO, bright-magenta DEBUG, src/util.rs:5-9)."""
+
+    _COLORS = {"INFO": "\x1b[32m", "DEBUG": "\x1b[95m", "WARNING": "\x1b[33m",
+               "ERROR": "\x1b[31m", "CRITICAL": "\x1b[31m"}
+
+    def format(self, record):
+        msg = super().format(record)
+        color = self._COLORS.get(record.levelname)
+        if color and sys.stdout.isatty():
+            return msg.replace(
+                record.levelname, f"{color}{record.levelname}\x1b[0m", 1
+            )
+        return msg
+
+
 def setup_logger(level: int = logging.INFO) -> None:
     handler = logging.StreamHandler(sys.stdout)
     handler.setFormatter(
-        logging.Formatter(
+        _ColorFormatter(
             "[%(asctime)s][%(levelname)-5s][%(name)s] %(message)s",
             datefmt="%Y-%m-%d %H:%M:%S",
         )
@@ -36,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="snesimage-tpu",
         description="TPU-native SNES image quantizer (snesimage rebuilt on JAX/XLA).",
+    )
+    from snesimage_tpu import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
     )
     # Reference-parity arguments (src/config.rs:3-31).
     p.add_argument("source_filename", help="Image to optimize")
