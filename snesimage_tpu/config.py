@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import dataclasses
 
+from snesimage_tpu.constants import RANDOM_TRIALS
+
 
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
@@ -35,7 +37,7 @@ class QuantConfig:
     seed: int = 0  # jax.random seed for the random candidate search
     max_steps: int = 8  # full sweeps over all slots; reference runs forever
     converge_tol: float = 0.0  # stop early when a full sweep improves less
-    random_trials: int = 64  # candidates per random slot visit (ref: 64)
+    random_trials: int = RANDOM_TRIALS  # candidates per random slot visit
     # Candidate prescreening: 0 = score every candidate with the full
     # SSIMULACRA2 (reference behavior); K > 0 = rank candidates with a
     # coarse metric (finest pyramid scale skipped, ~4x cheaper) and run

@@ -50,9 +50,8 @@ DITHER_WEIGHTS = np.array([7.0, 3.0, 5.0, 1.0], dtype=np.float32) / 16.0
 DITHER_DAMPING = 0.8
 
 # Candidate-search sizes (reference: src/lib.rs:205, 202, 296, 252).
-RANDOM_TRIALS = 64
-CHANNEL_VALUES = 32
-FIVE_BIT_LEVELS = 32
+RANDOM_TRIALS = 64  # random candidates per slot visit
+FIVE_BIT_LEVELS = 32  # channel sweep candidates / 5-bit value range
 
 # Scheduler: steps with step % 5 < 4 use the random method, the remaining
 # step uses the exhaustive channel sweep (reference: src/lib.rs:890).
