@@ -291,6 +291,16 @@ def _candidate_errors_dithered(
         return jnp.where(opaque[..., None], lin, 0.0)
 
     frames = jax.vmap(one_frame)(maps, cand_lin)
+    b = frames.shape[0]
+    k = config.prescreen
+    if k and b > k + 1:
+        # Same two-stage scoring as the undithered path (validated
+        # zero-regret on dithered candidate batches too).
+        coarse = 100.0 - ssimulacra2_from_ref_linear(refp, frames, skip_scales=2)
+        _, top = jax.lax.top_k(-coarse[1:], k)
+        sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
+        full = _error_of_frame(refp, jnp.take(frames, sel, axis=0))
+        return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
     return _error_of_frame(refp, frames)  # one explicit metric batch
 
 
