@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--schedule", choices=["reference", "channel"], default="reference")
+    p.add_argument("--prescreen", type=int, default=0, metavar="K")
+    from snesimage_tpu.models.presets import PRESETS
+
+    p.add_argument("--preset", choices=sorted(PRESETS))
     p.add_argument("--trials", type=int, default=64)
     p.add_argument("--limit", type=int, help="Only process the first N images")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -60,16 +64,29 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     try:
-        config = QuantConfig(
+        geometry = dict(
             subpalette_count=args.subpalette_count,
             subpalette_size=args.subpalette_size,
             dither=args.dither,
             perceptual_palettes=args.perceptual_palettes,
             nes=args.nes,
+        )
+        if args.preset:
+            from snesimage_tpu.models.presets import preset_fields
+
+            base = preset_fields(args.preset)
+            defaults = build_parser()
+            for k, v in geometry.items():
+                if v != defaults.get_default(k):
+                    base[k] = v
+            geometry = base
+        config = QuantConfig(
+            **geometry,
             seed=args.seed,
             max_steps=args.steps,
             random_trials=args.trials,
             schedule=args.schedule,
+            prescreen=args.prescreen,
         )
         indir = pathlib.Path(args.input_dir)
         outdir = pathlib.Path(args.output_dir)

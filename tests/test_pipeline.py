@@ -183,3 +183,41 @@ def test_run_wrapper(small_image):
     assert len(errors) == 1
     assert info["final_error"] == pytest.approx(errors[-1], abs=1e-3)
     assert info["optimize_seconds"] > 0
+
+
+def test_non_square_image(rng):
+    """The reference only supports 256x256 (and silently corrupts other
+    sizes, src/lib.rs:58,565,838); this build generalizes to any
+    multiple-of-8 geometry — including non-square."""
+    h, w = 32, 64
+    img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=w, height=h,
+                      max_steps=1)
+    st = new_state(img, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    st, errors = pipeline.optimize(st, cfg, max_steps=1)
+    assert np.isfinite(errors).all()
+    obj = state_to_json_obj(st, cfg)
+    assert len(obj["tiles"]) == (h // 8) * (w // 8)
+    assert len(obj["tile_palettes"]) == (h // 8) * (w // 8)
+
+
+def test_non_square_dithered_matches_oracle(rng):
+    from snesimage_tpu.native import oracle_remap
+    from snesimage_tpu.ops.dither import remap_dithered
+
+    h, w = 24, 48
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    tp = rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32)
+    pal = rng.integers(0, 32, (2, 4, 3)).astype(np.int32)
+    want = oracle_remap(rgba, tp, pal, dither=True, perceptual=False)
+    got = np.asarray(
+        remap_dithered(
+            jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), False,
+        )
+    )
+    assert (got == want).mean() > 0.99
