@@ -40,10 +40,13 @@ class QuantConfig:
     random_trials: int = RANDOM_TRIALS  # candidates per random slot visit
     # Candidate prescreening: 0 = score every candidate with the full
     # SSIMULACRA2 (reference behavior); K > 0 = rank candidates with a
-    # coarse metric (finest pyramid scale skipped, ~4x cheaper) and run
-    # the full metric only on the top K plus the current color. Measured
-    # to preserve the full metric's argmin (BENCHMARKS.md); acceptance
-    # stays strict-less-than against the fully-scored baseline.
+    # coarse metric (two finest pyramid scales skipped) and run the full
+    # metric only on the top K plus the batch's first entry (the current
+    # color for random/channel visits; NES color 0 for the always-replace
+    # NES sweep, which then picks the best among the screened set).
+    # Measured to preserve the full metric's selections with zero regret
+    # (BENCHMARKS.md); random/channel acceptance stays strict-less-than
+    # against the fully-scored current color.
     prescreen: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
