@@ -28,7 +28,7 @@ def run_single(name: str, config, img, max_steps: int) -> dict:
     st = pipeline.cluster(st, config)
     refp = make_reference_pyramid(st)
     st, _ = pipeline.optimize(st, config, refp=refp, max_steps=1)
-    jax.block_until_ready(st.palette_map)
+    np.asarray(st.palette_map)  # hard fence
 
     t0 = time.perf_counter()
     st = new_state(img, config)
@@ -36,7 +36,7 @@ def run_single(name: str, config, img, max_steps: int) -> dict:
     st = pipeline.cluster(st, config)
     refp = make_reference_pyramid(st)
     st, errors = pipeline.optimize(st, config, refp=refp, max_steps=max_steps)
-    jax.block_until_ready(st.palette_map)
+    np.asarray(st.palette_map)  # hard fence
     elapsed = time.perf_counter() - t0
     return {
         "config": name,
@@ -60,7 +60,7 @@ def run_batched(name: str, config, imgs, max_steps: int, chunk: int) -> dict:
         states, errs = pb.batched_run(
             imgs[lo : lo + chunk], config, max_steps=max_steps
         )
-        jax.block_until_ready(states.palette_map)
+        np.asarray(states.palette_map)  # hard fence
         errors.append(errs[-1])
     elapsed = time.perf_counter() - t0
     return {

@@ -223,3 +223,18 @@ def test_dither_candidates_xla_fallback_matches_per_palette(rng):
             )
         )
         np.testing.assert_array_equal(maps[b], want)
+
+
+def test_dithered_perceptual_matches_oracle(rng):
+    """The perceptual+dither combination (XLA scan path everywhere; the
+    Pallas kernel is red-mean-only) against the f64 oracle."""
+    rgba, tp, pal = _setup(rng, h=16, w=16, c=2, s=3)
+    want = oracle_remap(rgba, tp, pal, dither=True, perceptual=True)
+    got = np.asarray(
+        remap_dithered(
+            jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), True,
+        )
+    )
+    agree = (got == want).mean()
+    assert agree > 0.97, f"agreement {agree}"
