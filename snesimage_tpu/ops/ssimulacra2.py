@@ -248,7 +248,7 @@ def ssimulacra2_from_ref(refp, dis01: jax.Array) -> jax.Array:
 
 
 def ssimulacra2_from_ref_linear(
-    refp, lin2: jax.Array, *, skip_scales: int = 0
+    refp, lin2: jax.Array, *, skip_scales: int = 0, input_scale: int = 0
 ) -> jax.Array:
     """Like `ssimulacra2_from_ref` but takes an already-linear RGB frame.
 
@@ -262,15 +262,22 @@ def ssimulacra2_from_ref_linear(
     to pre-rank candidate batches (core/refine.py prescreen): skipping
     scale 0 removes ~3/4 of the metric's work, and measured rankings match
     the full metric's argmin. Never used for reported scores.
+
+    input_scale > 0 declares that `lin2` is ALREADY at that pyramid
+    scale's resolution (the caller downsampled it, e.g. via the exact
+    pooled-mask construction in core/refine.py); requires
+    input_scale <= skip_scales since finer scales cannot be computed.
     """
     feats = []
-    zero_feat = None
+    zero_feat = jnp.zeros(lin2.shape[:-3] + (3, 6), jnp.float32)
+    assert input_scale <= skip_scales
     for s in range(NUM_SCALES):
-        if s:
+        if s < input_scale:
+            feats.append(zero_feat)
+            continue
+        if s > input_scale:
             lin2 = downsample2(lin2)
         if s < skip_scales:
-            if zero_feat is None:
-                zero_feat = jnp.zeros(lin2.shape[:-3] + (3, 6), jnp.float32)
             feats.append(zero_feat)
             continue
         img1, mu1, s11 = refp[s]
