@@ -26,11 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("input_dir", help="Directory of source images")
     p.add_argument("output_dir", help="Directory for JSON outputs")
-    p.add_argument("-c", "--subpalette-count", type=int, default=1)
-    p.add_argument("-s", "--subpalette-size", type=int, default=7)
-    p.add_argument("-d", "--dither", action="store_true")
-    p.add_argument("--perceptual-palettes", action="store_true")
-    p.add_argument("--nes", action="store_true")
+    # None sentinels: explicit flags always override presets (see cli.py).
+    p.add_argument("-c", "--subpalette-count", type=int, default=None)
+    p.add_argument("-s", "--subpalette-size", type=int, default=None)
+    p.add_argument("-d", "--dither", action="store_true", default=None)
+    p.add_argument("--perceptual-palettes", action="store_true", default=None)
+    p.add_argument("--nes", action="store_true", default=None)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--schedule", choices=["reference", "channel"], default="reference")
@@ -64,22 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     try:
-        geometry = dict(
-            subpalette_count=args.subpalette_count,
-            subpalette_size=args.subpalette_size,
-            dither=args.dither,
-            perceptual_palettes=args.perceptual_palettes,
-            nes=args.nes,
-        )
-        if args.preset:
-            from snesimage_tpu.models.presets import preset_fields
+        from snesimage_tpu.cli import merge_geometry
 
-            base = preset_fields(args.preset)
-            defaults = build_parser()
-            for k, v in geometry.items():
-                if v != defaults.get_default(k):
-                    base[k] = v
-            geometry = base
+        geometry = merge_geometry(args)
         config = QuantConfig(
             **geometry,
             seed=args.seed,

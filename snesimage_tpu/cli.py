@@ -62,20 +62,30 @@ def build_parser() -> argparse.ArgumentParser:
     # Reference-parity arguments (src/config.rs:3-31).
     p.add_argument("source_filename", help="Image to optimize")
     p.add_argument("target_filename", help="Output JSON filename")
+    # Geometry flags default to None sentinels so an explicitly passed
+    # value always overrides a preset, even when it equals the effective
+    # default (e.g. `--preset snes-mode1-bg12 -c 1`); absent flags fall to
+    # the preset's fields, then to QuantConfig's defaults (1, 7, off).
     p.add_argument(
-        "-c", "--subpalette-count", type=int, default=1,
+        "-c", "--subpalette-count", type=int, default=None,
         help="Number of separate subpalettes (default 1)",
     )
     p.add_argument(
-        "-s", "--subpalette-size", type=int, default=7,
+        "-s", "--subpalette-size", type=int, default=None,
         help="Colors per subpalette, excluding transparent (default 7)",
     )
-    p.add_argument("-d", "--dither", action="store_true", help="Dither the output")
     p.add_argument(
-        "--perceptual-palettes", action="store_true",
+        "-d", "--dither", action="store_true", default=None,
+        help="Dither the output",
+    )
+    p.add_argument(
+        "--perceptual-palettes", action="store_true", default=None,
         help="CIELAB/CIEDE2000 color comparisons",
     )
-    p.add_argument("--nes", action="store_true", help="Restrict to NES-like colors")
+    p.add_argument(
+        "--nes", action="store_true", default=None,
+        help="Restrict to NES-like colors",
+    )
     # Framework extensions.
     from snesimage_tpu.models.presets import PRESETS
 
@@ -136,6 +146,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def merge_geometry(args) -> dict:
+    """Geometry fields for QuantConfig: explicitly passed flags (non-None)
+    override preset fields; anything else falls to QuantConfig defaults."""
+    explicit = {
+        k: v
+        for k, v in dict(
+            subpalette_count=args.subpalette_count,
+            subpalette_size=args.subpalette_size,
+            dither=args.dither,
+            perceptual_palettes=args.perceptual_palettes,
+            nes=args.nes,
+        ).items()
+        if v is not None
+    }
+    if args.preset:
+        from snesimage_tpu.models.presets import preset_fields
+
+        return {**preset_fields(args.preset), **explicit}
+    return explicit
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     setup_logger(logging.DEBUG if args.verbose else logging.INFO)
@@ -159,24 +190,7 @@ def main(argv: list[str] | None = None) -> int:
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
             errors = list(meta["errors"])
         else:
-            geometry = dict(
-                subpalette_count=args.subpalette_count,
-                subpalette_size=args.subpalette_size,
-                dither=args.dither,
-                perceptual_palettes=args.perceptual_palettes,
-                nes=args.nes,
-            )
-            if args.preset:
-                from snesimage_tpu.models.presets import preset_fields
-
-                base = preset_fields(args.preset)
-                defaults = build_parser()
-                # explicit flags override preset fields (flags left at
-                # their parser defaults defer to the preset)
-                for k, v in geometry.items():
-                    if v != defaults.get_default(k):
-                        base[k] = v
-                geometry = base
+            geometry = merge_geometry(args)
             config = QuantConfig(
                 **geometry,
                 seed=args.seed,

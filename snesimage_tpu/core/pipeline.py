@@ -64,9 +64,18 @@ class SlotVisit:
     channel: int  # only meaningful for "channel"
 
 
+def _is_random_step(config: QuantConfig, step: int) -> bool:
+    """Effective method selector for a step: reference cycle (4 random, 1
+    channel; src/lib.rs:890) unless the channel-descent schedule extension
+    forces pure coordinate descent."""
+    if config.schedule == "channel":
+        return False
+    return step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+
+
 def _step_visits(config: QuantConfig, step: int) -> Iterator[SlotVisit]:
     """Slot visits of one scheduler step, reference order."""
-    is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+    is_random = _is_random_step(config, step)
     for palette in range(config.subpalette_count):
         for index in range(config.subpalette_size):
             if config.nes:
@@ -151,10 +160,7 @@ def optimize(
 
     for local in range(max_steps):
         step = start_step + local
-        if config.schedule == "channel":
-            is_random = False  # pure coordinate descent (extension)
-        else:
-            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        is_random = _is_random_step(config, step)
         step_key = None
         if is_random and not config.nes:
             key, step_key = jax.random.split(key)

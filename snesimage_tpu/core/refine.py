@@ -197,7 +197,7 @@ def _undithered_machinery(
         i) wins on d_c < best_val, or on ties when i precedes best_idx."""
         return (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
 
-    def errors(refp, cand5):
+    def errors(refp, cand5, allow_prescreen=True):
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
@@ -211,14 +211,16 @@ def _undithered_machinery(
         frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
         b = frames.shape[0]
         k = config.prescreen
-        if k and b > k + 1:
+        if k and b > k + 1 and allow_prescreen:
             # Two-stage scoring: coarse-rank everything (two finest scales
             # skipped — measured to preserve the full metric's top-8 with
             # zero regret), full-score the top-k candidates plus the
             # in-batch baseline at index 0. Unselected candidates report
             # +inf so slot selection logic is unchanged; acceptance stays
-            # exact, and a misranked true winner can only cost a missed
-            # improvement, never a regression.
+            # exact, and — because only the strict-less-than random/channel
+            # paths prescreen (the always-replace NES sweep opts out via
+            # allow_prescreen) — a misranked true winner can only cost a
+            # missed improvement, never a regression.
             coarse = 100.0 - ssimulacra2_from_ref_linear(
                 refp, frames, skip_scales=2
             )
@@ -256,7 +258,8 @@ def _candidate_errors_undithered(
 
 
 def _candidate_errors_dithered(
-    state: QuantState, config: QuantConfig, refp, p, i, cand5
+    state: QuantState, config: QuantConfig, refp, p, i, cand5,
+    allow_prescreen=True,
 ):
     """Dithered candidate evaluation: fused wavefront remap per candidate
     (Pallas on TPU / XLA scan fallback), then one explicit metric batch."""
@@ -293,7 +296,7 @@ def _candidate_errors_dithered(
     frames = jax.vmap(one_frame)(maps, cand_lin)
     b = frames.shape[0]
     k = config.prescreen
-    if k and b > k + 1:
+    if k and b > k + 1 and allow_prescreen:
         # Same two-stage scoring as the undithered path (validated
         # zero-regret on dithered candidate batches too).
         coarse = 100.0 - ssimulacra2_from_ref_linear(refp, frames, skip_scales=2)
@@ -334,8 +337,10 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
     updated value (None-safe for the dithered path, which has no cache)."""
     if config.dither:
 
-        def errors(refp, cand5):
-            return _candidate_errors_dithered(state, config, refp, p, i, cand5)
+        def errors(refp, cand5, allow_prescreen=True):
+            return _candidate_errors_dithered(
+                state, config, refp, p, i, cand5, allow_prescreen
+            )
 
         def apply(color5):
             palette = jax.lax.dynamic_update_slice(
@@ -413,10 +418,15 @@ def _slot_channel(
 
 def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i, cache=None):
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
-    with the best NES color (best_error starts at MAX, src/lib.rs:242-284)."""
+    with the best NES color (best_error starts at MAX, src/lib.rs:242-284).
+
+    Prescreening is disabled here: under always-replace semantics a coarse
+    misranking could select a color *worse* than both the current entry and
+    the true 56-color argmin — an actual regression, not just a missed
+    improvement as in the strict-less-than random/channel paths."""
     cand5 = jnp.asarray(NES_PALETTE_5BIT)
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
-    errs = errors(refp, cand5)
+    errs = errors(refp, cand5, allow_prescreen=False)
     bidx = jnp.argmin(errs)
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     color = cand5[bidx]

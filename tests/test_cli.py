@@ -22,10 +22,38 @@ def test_parser_reference_flags():
 
 
 def test_parser_defaults():
+    """Effective defaults match src/config.rs:14-18 (the parser itself uses
+    None sentinels so explicit flags can override presets)."""
+    from snesimage_tpu.cli import merge_geometry
+    from snesimage_tpu.config import QuantConfig
+
     a = build_parser().parse_args(["a", "b"])
-    assert a.subpalette_count == 1  # src/config.rs:14
-    assert a.subpalette_size == 7  # src/config.rs:18
-    assert not a.dither and not a.perceptual_palettes and not a.nes
+    cfg = QuantConfig(**merge_geometry(a))
+    assert cfg.subpalette_count == 1  # src/config.rs:14
+    assert cfg.subpalette_size == 7  # src/config.rs:18
+    assert not cfg.dither and not cfg.perceptual_palettes and not cfg.nes
+
+
+def test_explicit_flag_overrides_preset_even_at_default_value():
+    """`--preset snes-mode1-bg12 -c 1` must honor the explicit -c 1 even
+    though 1 equals the effective default (regression: default-comparison
+    merging silently kept the preset's 8)."""
+    from snesimage_tpu.cli import merge_geometry
+
+    a = build_parser().parse_args(
+        ["a", "b", "--preset", "snes-mode1-bg12", "-c", "1"]
+    )
+    g = merge_geometry(a)
+    assert g["subpalette_count"] == 1
+    assert g["subpalette_size"] == 15  # preset field kept
+
+
+def test_preset_fields_apply_when_flags_absent():
+    from snesimage_tpu.cli import merge_geometry
+
+    a = build_parser().parse_args(["a", "b", "--preset", "nes-compat"])
+    g = merge_geometry(a)
+    assert g == {"subpalette_count": 4, "subpalette_size": 3, "nes": True}
 
 
 @pytest.mark.slow

@@ -51,6 +51,32 @@ def test_schedule_nes_mode():
     assert {v.method for v in visits} == {"nes"}
 
 
+def test_channel_schedule_observed_path_matches_fast(small_image):
+    """--schedule channel with an on_slot callback must run channel visits
+    (regression: _step_visits ignored config.schedule, yielding 'random'
+    visits with step_key=None and crashing) and reproduce the fast path's
+    state bit-for-bit."""
+    cfg = _cfg(schedule="channel", max_steps=1)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    refp = make_reference_pyramid(st)
+
+    fast_state, fast_errs = pipeline.optimize(st, cfg, refp=refp)
+    methods = []
+    obs_state, obs_errs = pipeline.optimize(
+        st, cfg, refp=refp, on_slot=lambda v, e: methods.append(v.method)
+    )
+    assert set(methods) == {"channel"}
+    np.testing.assert_array_equal(
+        np.asarray(fast_state.palette), np.asarray(obs_state.palette)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fast_state.palette_map), np.asarray(obs_state.palette_map)
+    )
+    assert fast_errs == obs_errs
+
+
 def test_full_run_improves_error(small_image):
     cfg = _cfg(max_steps=1)
     st = new_state(small_image, cfg)

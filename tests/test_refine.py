@@ -200,6 +200,27 @@ def test_final_map_equals_full_remap(small_image):
         )
 
 
+def test_nes_sweep_ignores_prescreen(small_image):
+    """The NES sweep ALWAYS replaces the entry (src/lib.rs:250), so a
+    coarse misranking under prescreen could pick a strictly worse color —
+    an actual regression. NES slot visits must therefore bypass prescreen
+    and match full scoring exactly, for every slot."""
+    st, cfg = _prepped(small_image, nes=True)
+    cfg_pre = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        nes=True, prescreen=4,
+    )
+    refp = make_reference_pyramid(st)
+    for p in range(2):
+        for i in range(4):
+            full = refine_slot_nes(st, cfg, refp, p, i)
+            pre = refine_slot_nes(st, cfg_pre, refp, p, i)
+            np.testing.assert_array_equal(
+                np.asarray(full.state.palette), np.asarray(pre.state.palette)
+            )
+            assert float(full.error) == float(pre.error)
+
+
 def test_prescreen_matches_full_selection(small_image, rng):
     """Prescreened slot visits must pick the same winning color as full
     scoring when the coarse ranking surfaces the true argmin (validated on
