@@ -53,8 +53,16 @@ from snesimage_tpu.ops.remap import (
     remap_undithered,
     render_linear,
 )
+from snesimage_tpu.ops.pallas_prescreen import (
+    pooled_wins,
+    pooled_wins_redmean,
+    select_colors,
+)
 from snesimage_tpu.ops.ssimulacra2 import (
+    downsample2,
     reference_pyramid,
+    scale_features,
+    score_from_features,
     ssimulacra2_from_ref_linear,
 )
 
@@ -124,16 +132,22 @@ def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
 
 
 def compute_d_all(state: QuantState, config: QuantConfig) -> jax.Array:
-    """(H, W, S) distances of every pixel to each entry of its own
+    """(S, H, W) distances of every pixel to each entry of its own
     subpalette — native dtype (exact int32 red-mean or f32 CIEDE2000).
 
-    Sweeps carry this across slot visits: when slot (p, i) changes, only
-    column i of pixels in subpalette-p tiles changes (rank-1 update), so a
-    full recompute per visit is redundant."""
+    Entry-major layout: the S axis leads so the per-visit reductions and
+    the rank-1 column update touch contiguous (H, W) planes. (A minor-dim
+    S axis pads every row of S values to 128 lanes on TPU — measured ~8x
+    the traffic, ~350 us per touch at 8x15.) The transpose here runs once
+    per sweep; sweeps carry the cache across slot visits: when slot (p, i)
+    changes, only plane i of pixels in subpalette-p tiles changes (rank-1
+    update), so a full recompute per visit is redundant."""
     entries8 = expand_5bit_to_8bit(state.palette)
     tp_pix = jnp.repeat(jnp.repeat(state.tile_palettes, 8, axis=0), 8, axis=1)
     sub = entries8[tp_pix]  # (H, W, S, 3)
-    return entry_distances(state.rgb, sub, config.perceptual_palettes)
+    return jnp.moveaxis(
+        entry_distances(state.rgb, sub, config.perceptual_palettes), -1, 0
+    )
 
 
 def _undithered_machinery(
@@ -142,8 +156,8 @@ def _undithered_machinery(
     """Shared per-slot-visit precomputation for the undithered path.
 
     Everything that does not depend on the candidate color is computed
-    once: distances of every pixel to its subpalette's unchanged entries
-    (``d_all``; passed in by sweeps that carry it across slots), the
+    once: (S, H, W) distances of every pixel to its subpalette's unchanged
+    entries (``d_all``; passed in by sweeps that carry it across slots), the
     first-minimum-wins best entry with and without slot ``i``
     (src/lib.rs:780-792 tie semantics), and the candidate-independent part
     of the linear-RGB rendered frame. Returns three closures:
@@ -155,9 +169,9 @@ def _undithered_machinery(
       final_map(color5) -> (H, W) palette_map — the exact equivalent of a
         full remap with slot ``i`` set to ``color5``, at the cost of a
         single distance column.
-      new_d_all(color5) -> updated (H, W, S) distance cache after setting
+      new_d_all(color5) -> updated (S, H, W) distance cache after setting
         slot (p, i) to color5 (bit-identical to compute_d_all on the
-        updated state: only affected pixels' column i changes).
+        updated state: only affected pixels' plane i changes).
     """
     s = config.subpalette_size
     entries8 = expand_5bit_to_8bit(state.palette)  # (C, S, 3)
@@ -169,11 +183,11 @@ def _undithered_machinery(
         d_all = compute_d_all(state, config)
     big = jnp.iinfo(jnp.int32).max if d_all.dtype == jnp.int32 else _BIG
 
-    excl = jnp.arange(s) == i  # (S,)
+    excl = (jnp.arange(s) == i)[:, None, None]  # (S, 1, 1)
     d_masked = jnp.where(excl, big, d_all)
-    best_val = jnp.min(d_masked, axis=-1)
-    best_idx = jnp.argmin(d_masked, axis=-1).astype(jnp.int32)
-    base_idx = jnp.argmin(d_all, axis=-1).astype(jnp.int32)
+    best_val = jnp.min(d_masked, axis=0)
+    best_idx = jnp.argmin(d_masked, axis=0).astype(jnp.int32)
+    base_idx = jnp.argmin(d_all, axis=0).astype(jnp.int32)
 
     affected = tp_pix == p  # (H, W)
     opaque = state.alpha > 0
@@ -181,10 +195,17 @@ def _undithered_machinery(
         target_lab = srgb_u8_to_lab(target_u8)
 
     entries_lin_flat = srgb_u8_to_linear(entries8).reshape(-1, 3)  # (C*S, 3)
-    opaque3 = opaque[..., None]
-    lin_base = jnp.where(opaque3, entries_lin_flat[tp_pix * s + base_idx], 0.0)
-    lin_excl = jnp.where(opaque3, entries_lin_flat[tp_pix * s + best_idx], 0.0)
-    lin_no_cand = jnp.where(affected[..., None], lin_excl, lin_base)
+    # lin_no_cand = the rendered linear frame with slot i never winning:
+    # affected pixels take their best OTHER entry, everything else its
+    # global best, transparent pixels 0. One combined key per pixel feeds
+    # the VMEM select kernel (per-pixel gathers from small tables are
+    # pathological on this TPU — ops/pallas_prescreen.py select_colors).
+    idx_nc = jnp.where(affected, best_idx, base_idx)
+    key_nc = jnp.where(opaque, tp_pix * s + idx_nc, entries_lin_flat.shape[0])
+    lnc_cmaj = select_colors(
+        key_nc, entries_lin_flat.T.astype(jnp.float32)
+    )  # (3, H, W)
+    lin_no_cand = jnp.moveaxis(lnc_cmaj, 0, -1)
     cand_mask3 = (affected & opaque)[..., None]
 
     def _cand_dist(c8, c_lab):
@@ -206,28 +227,73 @@ def _undithered_machinery(
             wins = _wins(_cand_dist(c8, c_lab))
             return jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
 
+        b = cand8.shape[0]
+        k = config.prescreen
+        h, w = target_u8.shape[:2]
+        if k and b > k + 1 and allow_prescreen and h % 4 == 0 and w % 4 == 0:
+            # Two-stage scoring with EXACT quarter-resolution coarse
+            # frames: the scale-2 frame of a two-way select decomposes as
+            #   ds4(where(m, c, L)) = ds4(L) + (c*pool4(m) - pool4(m*L))/16
+            # so the coarse rank needs only per-candidate pooled win sums
+            # (ops/pallas_prescreen.py fuses mask + pooling in VMEM) — the
+            # (B, H, W, 3) full-resolution candidate frames are built only
+            # for the top-k finalists plus the in-batch baseline at index
+            # 0. Unselected candidates report +inf so slot selection logic
+            # is unchanged; acceptance stays exact, and — because only the
+            # strict-less-than random/channel paths prescreen (the
+            # always-replace NES sweep opts out via allow_prescreen) — a
+            # misranked true winner can only cost a missed improvement,
+            # never a regression.
+            cand_mask2 = affected & opaque
+            adj = (i < best_idx).astype(jnp.int32)
+            ml_cmaj = jnp.where(cand_mask2[None], lnc_cmaj, 0.0)
+            ds4_l = downsample2(downsample2(lin_no_cand))  # (h/4, w/4, 3)
+            if perceptual:
+                bvalm = jnp.where(cand_mask2, best_val, -_BIG)
+                dcand = jax.vmap(lambda c8, c_lab: _cand_dist(c8, c_lab))(
+                    cand8, cand_lab
+                ).astype(best_val.dtype)
+                pooled = pooled_wins(dcand, bvalm, adj, ml_cmaj)
+            else:
+                # Integer path: the tie rule folds into the threshold
+                # (wins = d < best_val + adj), the distance plane is
+                # computed inside the kernel — no (B, H, W) materialization.
+                bva = jnp.where(
+                    cand_mask2,
+                    jnp.where(
+                        best_val == jnp.iinfo(jnp.int32).max,
+                        best_val,
+                        best_val + adj,
+                    ),
+                    jnp.iinfo(jnp.int32).min,
+                )
+                tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
+                pooled = pooled_wins_redmean(
+                    tg_cmaj, cand8.astype(jnp.int32), bva, ml_cmaj
+                )
+            coarse_cmaj = (
+                cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
+            ) / 16.0
+            coarse_frames = jnp.moveaxis(coarse_cmaj, 1, -1) + ds4_l[None]
+            feats_c = scale_features(
+                refp, coarse_frames, skip_scales=2, input_scale=2
+            )  # (B, 6, 3, 6); scales 0-1 zero
+            coarse = 100.0 - score_from_features(feats_c)
+            _, top = jax.lax.top_k(-coarse[1:], k)
+            sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
+            frames = jax.vmap(one_frame)(
+                cand8[sel], cand_lin[sel], cand_lab[sel]
+            )
+            # Finalists: only the two finest scales run at full
+            # resolution; scales 2..5 reuse the coarse features (the
+            # pooled scale-2 frame IS the finalist frame's scale-2
+            # downsample, exactly, up to f32 summation order).
+            feats_f = scale_features(refp, frames, max_scale=2)
+            full = 100.0 - score_from_features(feats_f + feats_c[sel])
+            return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
         # Build all candidate frames, then score them as ONE explicit
         # batch — the metric's fused Pallas path takes (B, H, W, 3).
         frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
-        b = frames.shape[0]
-        k = config.prescreen
-        if k and b > k + 1 and allow_prescreen:
-            # Two-stage scoring: coarse-rank everything (two finest scales
-            # skipped — measured to preserve the full metric's top-8 with
-            # zero regret), full-score the top-k candidates plus the
-            # in-batch baseline at index 0. Unselected candidates report
-            # +inf so slot selection logic is unchanged; acceptance stays
-            # exact, and — because only the strict-less-than random/channel
-            # paths prescreen (the always-replace NES sweep opts out via
-            # allow_prescreen) — a misranked true winner can only cost a
-            # missed improvement, never a regression.
-            coarse = 100.0 - ssimulacra2_from_ref_linear(
-                refp, frames, skip_scales=2
-            )
-            _, top = jax.lax.top_k(-coarse[1:], k)
-            sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
-            full = _error_of_frame(refp, jnp.take(frames, sel, axis=0))
-            return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
         return _error_of_frame(refp, frames)
 
     def _chosen_dist(color5):
@@ -242,9 +308,9 @@ def _undithered_machinery(
 
     def new_d_all(color5):
         d_c = _chosen_dist(color5).astype(d_all.dtype)
-        old_col = jnp.take(d_all, i, axis=-1)  # (H, W)
+        old_col = jax.lax.dynamic_index_in_dim(d_all, i, 0, keepdims=False)
         col = jnp.where(affected, d_c, old_col)
-        return jnp.where(excl, col[..., None], d_all)
+        return jax.lax.dynamic_update_slice(d_all, col[None], (i, 0, 0))
 
     return errors, final_map, new_d_all
 

@@ -1,0 +1,279 @@
+"""Fused pooled-mask kernel for the exact quarter-resolution prescreen.
+
+The undithered candidate frame is a two-way select (core/refine.py):
+
+    frame_b = where(m_b, c_b, L)        m_b = cand_mask & wins_b
+
+with L = lin_no_cand candidate-independent and c_b the candidate's linear
+color. Because 4x4 box pooling is linear, the frame at pyramid scale 2 is
+
+    ds4(frame_b) = ds4(L) + (c_b * pool4(m_b) - pool4(m_b * ML)) / 16
+
+where ML = cand_mask * L is candidate-independent. The coarse prescreen
+score (ops/ssimulacra2.py skip_scales=2) only needs the scale-2 frame, so
+the (B, H, W, 3) full-resolution candidate frames never have to exist.
+Round 1 tried this decomposition at XLA level and lost: XLA materializes
+the per-candidate (B, H, W, 3) product (NEXT.md item 4). This kernel fuses
+win-mask computation, masking and both pooled sums in VMEM, per candidate:
+
+    HBM traffic per visit: read dcand (B, H, W) + 6 candidate-independent
+    (H, W) planes once + write (B, 4, H/4, W/4) sums — ~12 MB for the
+    34-candidate channel sweep vs ~70 MB for materialize-and-downsample.
+
+Grid is the candidate axis (explicit, never vmap-of-pallas — that hangs
+Mosaic with shared operands). Per program: one (H, W) distance plane
+arrives via the grid BlockSpec; the candidate-independent planes use
+constant index maps so Mosaic keeps them VMEM-resident across programs.
+H-pooling is a sublane reshape-sum; W-pooling rides the MXU as one small
+matmul per map against a block-diagonal 0/1 pooling matrix (exact in f32).
+
+Win-mask semantics match core/refine.py `_wins` (reference tie rules,
+src/lib.rs:780-792): the candidate at slot index i beats the best other
+entry on strictly smaller distance, or on ties when i < best_idx. The
+caller folds the cand_mask into `bvalm` (masked pixels get -BIG so the
+candidate can never win there) and the tie rule into `adj`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@lru_cache(maxsize=None)
+def _pool_matrix(w: int) -> np.ndarray:
+    """(w, w//4) block-diagonal 0/1 matrix: x @ P sums each run of 4 lanes."""
+    p = np.zeros((w, w // 4), dtype=np.float32)
+    p[np.arange(w), np.arange(w) // 4] = 1.0
+    return p
+
+
+def _kernel(dc_ref, bv_ref, adj_ref, ml_ref, pw_ref, out_ref):
+    h, w = bv_ref.shape
+    d = dc_ref[0]
+    bv = bv_ref[:]
+    wins = (d < bv) | ((d == bv) & (adj_ref[:] != 0))
+    m = wins.astype(jnp.float32)
+
+    def pool(x):  # (H, W) -> (H//4, W//4) block sums
+        hs = x.reshape(h // 4, 4, w).sum(axis=1)
+        return jnp.dot(
+            hs,
+            pw_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_ref[0, 0] = pool(m)
+    out_ref[0, 1] = pool(m * ml_ref[0])
+    out_ref[0, 2] = pool(m * ml_ref[1])
+    out_ref[0, 3] = pool(m * ml_ref[2])
+
+
+def _pooled_wins_pallas(dcand, bvalm, adj, ml_cmaj):
+    b, h, w = dcand.shape
+    pw = jnp.asarray(_pool_matrix(w))
+    return pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (w, w // 4), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, h // 4, w // 4), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 4, w // 4), jnp.float32),
+    )(dcand, bvalm, adj, ml_cmaj, pw)
+
+
+def _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj):
+    """Reference/fallback implementation (CPU tests, non-TPU backends).
+    Bit-matches the kernel up to f32 summation order."""
+    b, h, w = dcand.shape
+    wins = (dcand < bvalm) | ((dcand == bvalm) & (adj != 0))
+    m = wins.astype(jnp.float32)  # (B, H, W)
+    maps = jnp.concatenate(
+        [m[:, None], m[:, None] * ml_cmaj[None]], axis=1
+    )  # (B, 4, H, W)
+    return maps.reshape(b, 4, h // 4, 4, w // 4, 4).sum(axis=(3, 5))
+
+
+def use_pallas_prescreen() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@jax.jit
+def pooled_wins(dcand, bvalm, adj, ml_cmaj):
+    """Per-candidate pooled win sums (generic-distance variant).
+
+    dcand:  (B, H, W) distance of each pixel to its candidate color
+            (int32 red-mean or f32 CIEDE2000; must match bvalm's dtype).
+    bvalm:  (H, W) best distance among the OTHER subpalette entries,
+            pre-masked to -BIG outside (affected & opaque) pixels.
+    adj:    (H, W) int32 tie rule: 1 where slot index i < best_idx.
+    ml_cmaj:(3, H, W) f32 cand_mask * lin_no_cand, channel-major.
+
+    Returns (B, 4, H//4, W//4) f32 block SUMS (not means):
+    [pool4(m), pool4(m * ML_r), pool4(m * ML_g), pool4(m * ML_b)].
+    """
+    if use_pallas_prescreen():
+        return _pooled_wins_pallas(dcand, bvalm, adj, ml_cmaj)
+    return _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj)
+
+
+# ---------------------------------------------------------------------------
+# Red-mean variant: the candidate distance plane is computed IN KERNEL from
+# the target image and the candidate color, so the (B, H, W) dcand tensor
+# (8.9 MB for a 34-candidate sweep, measured ~330 us to materialize) never
+# touches HBM. The integer tie rule folds into a single compare:
+#   wins = (d < bv) | ((d == bv) & adj)  ==  d < bv + adj   (integers)
+# so the caller passes bva = best_val + adj, pre-masked (see callers).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_redmean(tg_ref, col_ref, bva_ref, ml_ref, pw_ref, out_ref):
+    h, w = bva_ref.shape
+    b = pl.program_id(0)
+    cr = col_ref[b, 0]
+    cg = col_ref[b, 1]
+    cb = col_ref[b, 2]
+    tr = tg_ref[0]
+    tg = tg_ref[1]
+    tb = tg_ref[2]
+    dr = tr - cr
+    dg = tg - cg
+    db = tb - cb
+    rsum = tr + cr
+    # 512 * red_mean^2, exact int32 (ops/color.py red_mean_sq_scaled).
+    d = (1024 + rsum) * dr * dr + 2048 * dg * dg + (1534 - rsum) * db * db
+    m = (d < bva_ref[:]).astype(jnp.float32)
+
+    def pool(x):
+        hs = x.reshape(h // 4, 4, w).sum(axis=1)
+        return jnp.dot(
+            hs,
+            pw_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_ref[0, 0] = pool(m)
+    out_ref[0, 1] = pool(m * ml_ref[0])
+    out_ref[0, 2] = pool(m * ml_ref[1])
+    out_ref[0, 3] = pool(m * ml_ref[2])
+
+
+def _pooled_wins_redmean_pallas(target_cmaj, cand8, bva, ml_cmaj):
+    b = cand8.shape[0]
+    _, h, w = target_cmaj.shape
+    pw = jnp.asarray(_pool_matrix(w))
+    return pl.pallas_call(
+        _kernel_redmean,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w // 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, h // 4, w // 4), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 4, w // 4), jnp.float32),
+    )(target_cmaj, cand8, bva, ml_cmaj, pw)
+
+
+def _pooled_wins_redmean_xla(target_cmaj, cand8, bva, ml_cmaj):
+    b, h, w = cand8.shape[0], target_cmaj.shape[1], target_cmaj.shape[2]
+    d = cand8[:, :, None, None] - target_cmaj[None]  # (B, 3, H, W)
+    rsum = target_cmaj[0][None] + cand8[:, 0, None, None]
+    dist = (
+        (1024 + rsum) * d[:, 0] * d[:, 0]
+        + 2048 * d[:, 1] * d[:, 1]
+        + (1534 - rsum) * d[:, 2] * d[:, 2]
+    )
+    m = (dist < bva[None]).astype(jnp.float32)
+    maps = jnp.concatenate(
+        [m[:, None], m[:, None] * ml_cmaj[None]], axis=1
+    )
+    return maps.reshape(b, 4, h // 4, 4, w // 4, 4).sum(axis=(3, 5))
+
+
+@jax.jit
+def pooled_wins_redmean(target_cmaj, cand8, bva, ml_cmaj):
+    """Per-candidate pooled win sums, red-mean distance fused in kernel.
+
+    target_cmaj: (3, H, W) int32 target image, channel-major.
+    cand8:       (B, 3) int32 candidate colors (8-bit).
+    bva:         (H, W) int32 win threshold — best other-entry distance
+                 plus the integer tie rule, masked to INT32_MIN outside
+                 (affected & opaque) pixels: wins = d < bva.
+    ml_cmaj:     (3, H, W) f32 cand_mask * lin_no_cand, channel-major.
+
+    Returns (B, 4, H//4, W//4) f32 block sums as `pooled_wins`.
+    """
+    if use_pallas_prescreen():
+        return _pooled_wins_redmean_pallas(target_cmaj, cand8, bva, ml_cmaj)
+    return _pooled_wins_redmean_xla(target_cmaj, cand8, bva, ml_cmaj)
+
+
+# ---------------------------------------------------------------------------
+# Small-table color select: lin[ch, h, w] = table[ch, key[h, w]].
+# A per-pixel gather from a tiny table measured ~445 us per (H, W) plane on
+# this TPU (pathological XLA gather); the kernel instead unrolls a
+# compare-select sum over the table entries entirely in VMEM (~120
+# iterations for 8x15 palettes, ~30 us).
+# ---------------------------------------------------------------------------
+
+
+def _select_kernel(key_ref, tbl_ref, out_ref):
+    nk = tbl_ref.shape[1]
+    key = key_ref[:]
+    for ch in range(3):
+        acc = jnp.zeros_like(out_ref[ch])
+        for k in range(nk):
+            acc = acc + jnp.where(key == k, tbl_ref[ch, k], 0.0)
+        out_ref[ch] = acc
+
+
+def _select_colors_pallas(key, table):
+    h, w = key.shape
+    nk = table.shape[1]
+    return pl.pallas_call(
+        _select_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+    )(key, table)
+
+
+@jax.jit
+def select_colors(key, table):
+    """(3, H, W) color planes selected from a small table by per-pixel key.
+
+    key:   (H, W) int32 in [0, K]; the value K (== table.shape[1] when the
+           caller pads a sentinel column of zeros) selects 0.0.
+    table: (3, K') f32 channel-major color table, K' >= max(key)+1.
+    """
+    if use_pallas_prescreen():
+        return _select_colors_pallas(key, table)
+    padded = jnp.concatenate([table, jnp.zeros((3, 1), table.dtype)], axis=1)
+    safe = jnp.minimum(key, padded.shape[1] - 1)
+    return jnp.moveaxis(padded.T[safe], -1, 0)

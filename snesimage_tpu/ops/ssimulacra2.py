@@ -247,32 +247,33 @@ def ssimulacra2_from_ref(refp, dis01: jax.Array) -> jax.Array:
     return ssimulacra2_from_ref_linear(refp, _decode_srgb(dis01))
 
 
-def ssimulacra2_from_ref_linear(
-    refp, lin2: jax.Array, *, skip_scales: int = 0, input_scale: int = 0
+def scale_features(
+    refp,
+    lin2: jax.Array,
+    *,
+    skip_scales: int = 0,
+    input_scale: int = 0,
+    max_scale: int = NUM_SCALES,
 ) -> jax.Array:
-    """Like `ssimulacra2_from_ref` but takes an already-linear RGB frame.
+    """Per-scale feature tensor (..., NUM_SCALES, 3, 6); scales outside
+    [max(skip_scales, input_scale), max_scale) are zero.
 
-    This is the refine loop's hot entry: rendered candidate frames are
-    produced directly in linear space (ops/remap.py `render_linear`), so
-    no per-pixel transfer decode runs per candidate (the u8-LUT gather
-    alone measured 23x the rest of the metric on TPU).
-
-    skip_scales > 0 computes a CHEAPER, non-standard score that drops the
-    finest pyramid scales' features (their weights become zero). Used only
-    to pre-rank candidate batches (core/refine.py prescreen): skipping
-    scale 0 removes ~3/4 of the metric's work, and measured rankings match
-    the full metric's argmin. Never used for reported scores.
-
+    skip_scales > 0 drops the finest scales' features (their weights
+    become zero) — used by the refine loop's coarse prescreen ranking.
     input_scale > 0 declares that `lin2` is ALREADY at that pyramid
     scale's resolution (the caller downsampled it, e.g. via the exact
     pooled-mask construction in core/refine.py); requires
     input_scale <= skip_scales since finer scales cannot be computed.
+    max_scale < NUM_SCALES computes only the finest scales — the refine
+    loop sums such a tensor with a coarse prescreen tensor (disjoint
+    scale slots) to assemble full-metric features for finalists without
+    recomputing scales 2..5.
     """
     feats = []
     zero_feat = jnp.zeros(lin2.shape[:-3] + (3, 6), jnp.float32)
     assert input_scale <= skip_scales
     for s in range(NUM_SCALES):
-        if s < input_scale:
+        if s < input_scale or s >= max_scale:
             feats.append(zero_feat)
             continue
         if s > input_scale:
@@ -283,9 +284,12 @@ def ssimulacra2_from_ref_linear(
         img1, mu1, s11 = refp[s]
         img2 = linear_rgb_to_positive_xyb(lin2)
         feats.append(_scale_features(img1, mu1, s11, img2))
+    return jnp.stack(feats, axis=-3)  # (..., scales, C, 6)
 
+
+def score_from_features(f: jax.Array) -> jax.Array:
+    """(..., NUM_SCALES, 3, 6) features -> SSIMULACRA2 score (<= 100)."""
     # (..., scales, C, 6) -> weight-ordered (..., C, scales, n, metric)
-    f = jnp.stack(feats, axis=-3)  # (..., scales, C, 6)
     f = jnp.moveaxis(f, -2, -3)  # (..., C, scales, 6)
     f = f.reshape(*f.shape[:-1], 2, 3)  # 6 -> (n, metric)
     flat = jnp.abs(f).reshape(*f.shape[:-4], 108)
@@ -297,6 +301,27 @@ def ssimulacra2_from_ref_linear(
         ssim > 0.0,
         100.0 - 10.0 * jnp.maximum(ssim, 1e-30) ** SCORE_POW,
         100.0,
+    )
+
+
+def ssimulacra2_from_ref_linear(
+    refp, lin2: jax.Array, *, skip_scales: int = 0, input_scale: int = 0
+) -> jax.Array:
+    """Like `ssimulacra2_from_ref` but takes an already-linear RGB frame.
+
+    This is the refine loop's hot entry: rendered candidate frames are
+    produced directly in linear space (ops/remap.py `render_linear`), so
+    no per-pixel transfer decode runs per candidate (the u8-LUT gather
+    alone measured 23x the rest of the metric on TPU).
+
+    skip_scales/input_scale: see `scale_features`. Skipped-scale scores
+    are only used to pre-rank candidate batches (core/refine.py
+    prescreen), never reported.
+    """
+    return score_from_features(
+        scale_features(
+            refp, lin2, skip_scales=skip_scales, input_scale=input_scale
+        )
     )
 
 
