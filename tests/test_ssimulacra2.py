@@ -171,3 +171,23 @@ def test_pallas_kernel_matches_xla(rng):
         scale_feature_sums(cm(img1), cm(mu1), cm(s11), cm(img2[0]), interpret=True)
     )
     np.testing.assert_allclose(single, sums[0], rtol=1e-6)
+
+
+def test_golden_score_values():
+    """Pin concrete scores of the current weight table (consts provenance:
+    ops/ssimulacra2_consts.py). Guards against silent weight/layout
+    regressions — any intentional table change must regenerate these.
+    CPU-backend values (conftest forces cpu); tolerance covers fused-op
+    reassociation, not weight changes."""
+    rng = np.random.default_rng(1234)
+    img = _img(rng, 128, 128)
+    expected = {0.02: 61.4727, 0.1: -57.5995}
+    for sigma, want in expected.items():
+        noisy = np.clip(img + rng.normal(0, sigma, img.shape), 0, 1).astype(
+            np.float32
+        )
+        got = float(ssimulacra2(jnp.asarray(img), jnp.asarray(noisy)))
+        assert abs(got - want) < 0.05, (sigma, got, want)
+    half = img[::2, ::2].repeat(2, 0).repeat(2, 1)
+    got = float(ssimulacra2(jnp.asarray(img), jnp.asarray(half)))
+    assert abs(got - (-38.2173)) < 0.05, got
