@@ -179,8 +179,10 @@ def optimize(
         else:
             # Observed path: one dispatch per slot visit so the callback
             # sees every slot (reference logging granularity,
-            # src/lib.rs:906-915). Key-split order matches the fast path,
-            # so both paths produce bit-identical states.
+            # src/lib.rs:906-915). Key-split order matches the fast path
+            # (same visits, same candidate draws); states can diverge on
+            # f32 near-ties because the sweep and the slot functions are
+            # separate XLA compilations — see tests/test_refine.py.
             err = float("inf")
             for visit in _step_visits(config, step):
                 if visit.method == "nes":

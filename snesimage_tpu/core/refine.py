@@ -59,9 +59,9 @@ from snesimage_tpu.ops.pallas_prescreen import (
     select_colors,
 )
 from snesimage_tpu.ops.ssimulacra2 import (
-    downsample2,
+    NUM_SCALES,
+    fused_scale_feature_block,
     reference_pyramid,
-    scale_features,
     score_from_features,
     ssimulacra2_from_ref_linear,
 )
@@ -206,7 +206,6 @@ def _undithered_machinery(
         key_nc, entries_lin_flat.T.astype(jnp.float32)
     )  # (3, H, W)
     lin_no_cand = jnp.moveaxis(lnc_cmaj, 0, -1)
-    cand_mask3 = (affected & opaque)[..., None]
 
     def _cand_dist(c8, c_lab):
         if perceptual:
@@ -222,10 +221,15 @@ def _undithered_machinery(
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
+        cand_mask2 = affected & opaque
 
-        def one_frame(c8, c_lin, c_lab):
+        def one_frame_cmaj(c8, c_lin, c_lab):
+            """(3, H, W) linear candidate frame — channel-major for the
+            fused metric kernel (ops/pallas_metric.py)."""
             wins = _wins(_cand_dist(c8, c_lab))
-            return jnp.where(cand_mask3 & wins[..., None], c_lin, lin_no_cand)
+            return jnp.where(
+                (cand_mask2 & wins)[None], c_lin[:, None, None], lnc_cmaj
+            )
 
         b = cand8.shape[0]
         k = config.prescreen
@@ -244,10 +248,12 @@ def _undithered_machinery(
             # always-replace NES sweep opts out via allow_prescreen) — a
             # misranked true winner can only cost a missed improvement,
             # never a regression.
-            cand_mask2 = affected & opaque
             adj = (i < best_idx).astype(jnp.int32)
             ml_cmaj = jnp.where(cand_mask2[None], lnc_cmaj, 0.0)
-            ds4_l = downsample2(downsample2(lin_no_cand))  # (h/4, w/4, 3)
+            # ds4 of lin_no_cand, channel-major (exact 4x4 box mean; f32
+            # association differs from downsample2∘downsample2 by ~1 ulp,
+            # irrelevant for ranking and cancelled by the in-batch baseline)
+            ds4_l = lnc_cmaj.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
             if perceptual:
                 bvalm = jnp.where(cand_mask2, best_val, -_BIG)
                 dcand = jax.vmap(lambda c8, c_lab: _cand_dist(c8, c_lab))(
@@ -271,30 +277,30 @@ def _undithered_machinery(
                 pooled = pooled_wins_redmean(
                     tg_cmaj, cand8.astype(jnp.int32), bva, ml_cmaj
                 )
-            coarse_cmaj = (
+            coarse_frames = (
                 cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
-            ) / 16.0
-            coarse_frames = jnp.moveaxis(coarse_cmaj, 1, -1) + ds4_l[None]
-            feats_c = scale_features(
-                refp, coarse_frames, skip_scales=2, input_scale=2
+            ) / 16.0 + ds4_l[None]  # (B, 3, h/4, w/4) channel-major
+            feats_c = fused_scale_feature_block(
+                refp, coarse_frames, 2, NUM_SCALES - 2
             )  # (B, 6, 3, 6); scales 0-1 zero
             coarse = 100.0 - score_from_features(feats_c)
             _, top = jax.lax.top_k(-coarse[1:], k)
             sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
-            frames = jax.vmap(one_frame)(
+            frames = jax.vmap(one_frame_cmaj)(
                 cand8[sel], cand_lin[sel], cand_lab[sel]
             )
             # Finalists: only the two finest scales run at full
             # resolution; scales 2..5 reuse the coarse features (the
             # pooled scale-2 frame IS the finalist frame's scale-2
             # downsample, exactly, up to f32 summation order).
-            feats_f = scale_features(refp, frames, max_scale=2)
+            feats_f = fused_scale_feature_block(refp, frames, 0, 2)
             full = 100.0 - score_from_features(feats_f + feats_c[sel])
             return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
         # Build all candidate frames, then score them as ONE explicit
-        # batch — the metric's fused Pallas path takes (B, H, W, 3).
-        frames = jax.vmap(one_frame)(cand8, cand_lin, cand_lab)
-        return _error_of_frame(refp, frames)
+        # batch through the fused multi-scale kernel (XLA path off-TPU).
+        frames = jax.vmap(one_frame_cmaj)(cand8, cand_lin, cand_lab)
+        feats = fused_scale_feature_block(refp, frames, 0, NUM_SCALES)
+        return 100.0 - score_from_features(feats)
 
     def _chosen_dist(color5):
         c8 = expand_5bit_to_8bit(color5)
@@ -524,7 +530,9 @@ def refine_slot_nes(state, config: QuantConfig, refp, p, i) -> SlotResult:
 # 8x15 sweep is 120 dispatches with a device sync each (the scheduler is
 # sequentially dependent). These fori_loop versions run the whole sweep in
 # one XLA program — the host sees only the final state. Key-split order
-# matches the host loop exactly, so both paths produce identical states.
+# matches the host loop exactly (same visits, same candidate draws);
+# f32 fusion differences between the two compilations can still flip
+# near-tie selections (tests assert trajectory equivalence, not bits).
 #
 # On the undithered path the sweeps carry the (H, W, S) distance cache and
 # (perceptual mode) the precomputed target Lab image across slot visits —

@@ -83,8 +83,10 @@ def _features_kernel(img1_ref, mu1_ref, s11_ref, img2_ref, out_ref):
     _features_core(img1_ref[0], mu1_ref[0], s11_ref[0], img2_ref[0], out_ref, (0,))
 
 
-def _features_core(x1, m1, v1, x2, out_ref, out_idx):
-    taps = _taps()
+def _feature_sums(x1, m1, v1, x2, taps) -> list:
+    """The six raw moments of one (channel, scale) feature map pair:
+    [sum(ssim_d), sum(art), sum(det), sum(ssim_d^4), sum(art^4),
+    sum(det^4)] — the fused form of ops/ssimulacra2.py _scale_features."""
     mu2 = _blur2d(x2, taps)
     s22 = _blur2d(x2 * x2, taps)
     s12 = _blur2d(x1 * x2, taps)
@@ -106,9 +108,7 @@ def _features_core(x1, m1, v1, x2, out_ref, out_idx):
     det4 = det * det
     det4 = det4 * det4
 
-    # Scalar stores to VMEM are not supported: assemble the six sums into
-    # the (8, 128) output tile with masked broadcasts and store it whole.
-    sums = [
+    return [
         jnp.sum(ssim_d),
         jnp.sum(art),
         jnp.sum(det),
@@ -116,6 +116,12 @@ def _features_core(x1, m1, v1, x2, out_ref, out_idx):
         jnp.sum(art4),
         jnp.sum(det4),
     ]
+
+
+def _features_core(x1, m1, v1, x2, out_ref, out_idx):
+    sums = _feature_sums(x1, m1, v1, x2, _taps())
+    # Scalar stores to VMEM are not supported: assemble the six sums into
+    # the (8, 128) output tile with masked broadcasts and store it whole.
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     tile = jnp.zeros((8, 128), dtype=jnp.float32)
@@ -199,3 +205,162 @@ def _features_kernel_batched(img1_ref, mu1_ref, s11_ref, img2_ref, out_ref):
     _features_core(
         img1_ref[0], mu1_ref[0], s11_ref[0], img2_ref[0, 0], out_ref, (0, 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale fused variant: per candidate, ONE program converts the linear
+# RGB frame to positive XYB, computes the feature maps of several
+# consecutive pyramid scales (downsampling in VMEM between scales), and
+# emits only the raw moment sums. This is the refine loop's hot metric
+# path: HBM traffic per candidate drops from ~10 materialized maps per
+# scale to one frame read + 18 scalars (the shared reference-side blocks
+# use constant index maps so Mosaic keeps them VMEM-resident across the
+# candidate grid).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pool2_matrix(w: int) -> np.ndarray:
+    """(w, w//2) block-diagonal 0/1 matrix: x @ P sums lane pairs."""
+    p = np.zeros((w, w // 2), dtype=np.float32)
+    p[np.arange(w), np.arange(w) // 2] = 1.0
+    return p
+
+
+def _cbrt(v: jax.Array) -> jax.Array:
+    """Sign-symmetric cube root via exp/log (Mosaic has no cbrt primitive).
+    Matches jnp.cbrt to ~1e-6 relative; exact 0 maps to ~1e-10."""
+    s = jnp.where(v < 0, -1.0, 1.0)
+    a = jnp.abs(v)
+    return s * jnp.exp(jnp.log(jnp.maximum(a, 1e-30)) * (1.0 / 3.0))
+
+
+def _opsin_xyb(r: jax.Array, g: jax.Array, b: jax.Array):
+    """Channel-plane form of ops/ssimulacra2.py linear_rgb_to_positive_xyb."""
+    from snesimage_tpu.ops.ssimulacra2_consts import (
+        OPSIN_BIAS,
+        OPSIN_MATRIX,
+        XYB_B_OFFSET,
+        XYB_X_OFFSET,
+        XYB_X_SCALE,
+        XYB_Y_OFFSET,
+    )
+
+    m = np.asarray(OPSIN_MATRIX, dtype=np.float32)
+    bias = np.float32(OPSIN_BIAS)
+    cbrt_bias = np.float32(np.cbrt(OPSIN_BIAS))
+    lms = [
+        _cbrt(m[i, 0] * r + m[i, 1] * g + m[i, 2] * b + bias) - cbrt_bias
+        for i in range(3)
+    ]
+    xr = 0.5 * (lms[0] - lms[1])
+    yr = 0.5 * (lms[0] + lms[1])
+    return (
+        xr * np.float32(XYB_X_SCALE) + np.float32(XYB_X_OFFSET),
+        yr + np.float32(XYB_Y_OFFSET),
+        (lms[2] - yr) + np.float32(XYB_B_OFFSET),
+    )
+
+
+def _ds2(x: jax.Array, pw: jax.Array) -> jax.Array:
+    """2x2 box mean for even-sized planes: sublane reshape-sum for rows,
+    one small MXU matmul for lanes (same scheme as ops/pallas_prescreen)."""
+    h, w = x.shape
+    hs = x.reshape(h // 2, 2, w).sum(axis=1)
+    return (
+        jnp.dot(
+            hs,
+            pw,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        * 0.25
+    )
+
+
+def multiscale_feature_sums(
+    ref_scales: tuple,
+    frames: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw feature sums of several consecutive pyramid scales, fused.
+
+    ref_scales: tuple over scales of (img1, mu1, s11) triples, each
+        channel-major (3, h_s, w_s) f32 in positive-XYB space, where
+        (h_0, w_0) == frames' spatial dims and every following scale is
+        exactly the 2x2-mean downsample size (even sizes only).
+    frames: (B, 3, H, W) f32 candidate frames in LINEAR RGB (the XYB
+        conversion runs in-kernel per scale, like the XLA path).
+
+    Returns (B, n_scales, 3, 6) raw sums in _feature_sums order; divide by
+    h_s*w_s and fourth-root outside.
+    """
+    n = len(ref_scales)
+    b, _, h, w = frames.shape
+    rows = n * 3
+    r_pad = -(-rows // 8) * 8
+    pools = [
+        jnp.asarray(_pool2_matrix(ref_scales[si][0].shape[-1]))
+        for si in range(n - 1)
+    ]
+    flat_refs = [a for triple in ref_scales for a in triple]
+
+    def kernel(*args):
+        fr_ref = args[0]
+        refs = args[1 : 1 + 3 * n]
+        pool_refs = args[1 + 3 * n : 1 + 3 * n + (n - 1)]
+        out_ref = args[-1]
+        taps = _taps()
+        r, g, bb = fr_ref[0, 0], fr_ref[0, 1], fr_ref[0, 2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 1)
+        tile = jnp.zeros((r_pad, 128), dtype=jnp.float32)
+        for si in range(n):
+            if si:
+                pw = pool_refs[si - 1][:]
+                r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
+            xyb = _opsin_xyb(r, g, bb)
+            for c in range(3):
+                sums = _feature_sums(
+                    refs[3 * si][c],
+                    refs[3 * si + 1][c],
+                    refs[3 * si + 2][c],
+                    xyb[c],
+                    taps,
+                )
+                ri = si * 3 + c
+                for k, v in enumerate(sums):
+                    tile = tile + jnp.where((row == ri) & (col == k), v, 0.0)
+        out_ref[0] = tile
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    for si in range(n):
+        hs, ws = ref_scales[si][0].shape[-2:]
+        spec = pl.BlockSpec(
+            (3, hs, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [spec, spec, spec]
+    for si in range(n - 1):
+        ws = ref_scales[si][0].shape[-1]
+        in_specs.append(
+            pl.BlockSpec(
+                (ws, ws // 2), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, r_pad, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(frames, *flat_refs, *pools)
+    return out[:, :rows, :6].reshape(b, n, 3, 6)

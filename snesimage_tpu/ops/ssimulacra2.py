@@ -287,6 +287,75 @@ def scale_features(
     return jnp.stack(feats, axis=-3)  # (..., scales, C, 6)
 
 
+def _use_fused_block() -> bool:
+    import os
+
+    return jax.default_backend() == "tpu" and not os.environ.get(
+        "SNESIMAGE_NO_PALLAS"
+    )
+
+
+def fused_scale_feature_block(
+    refp,
+    frames_cmaj: jax.Array,
+    start_scale: int,
+    num_scales: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Feature tensor of `num_scales` consecutive scales from channel-major
+    linear-RGB frames, via ONE fused Pallas program per frame on TPU.
+
+    frames_cmaj: (B, 3, h, w) linear RGB at scale `start_scale`'s
+    resolution. Returns (B, NUM_SCALES, 3, 6) with zeros outside
+    [start_scale, start_scale + num_scales). Off-TPU (or when the pyramid
+    used edge-replicated odd-size downsamples the kernel cannot reproduce)
+    falls back to the XLA path — identical semantics, so CPU tests pin the
+    same numbers.
+    """
+    b = frames_cmaj.shape[0]
+    h, w = frames_cmaj.shape[-2:]
+    if _use_fused_block() or interpret:
+        ref_scales = []
+        sizes = []
+        ok = True
+        for si in range(num_scales):
+            img1, mu1, s11 = refp[start_scale + si]
+            hs, ws = img1.shape[-3], img1.shape[-2]
+            good_size = (hs, ws) == (h >> si, w >> si)
+            even = si == num_scales - 1 or (hs % 2 == 0 and ws % 2 == 0)
+            if img1.ndim != 3 or not (good_size and even):
+                ok = False
+                break
+            sizes.append(hs * ws)
+            ref_scales.append(
+                tuple(jnp.moveaxis(a, -1, -3) for a in (img1, mu1, s11))
+            )
+        if ok:
+            from snesimage_tpu.ops.pallas_metric import multiscale_feature_sums
+
+            sums = multiscale_feature_sums(
+                tuple(ref_scales), frames_cmaj, interpret=interpret
+            )  # (B, n, 3, 6)
+            n_px = jnp.asarray(sizes, jnp.float32)[None, :, None, None]
+            one = sums[..., 0:3] / n_px
+            m4 = sums[..., 3:6] / n_px
+            four = jnp.where(m4 > 0, jnp.where(m4 > 0, m4, 1.0) ** 0.25, 0.0)
+            block = jnp.concatenate([one, four], axis=-1)
+            full = jnp.zeros((b, NUM_SCALES, 3, 6), jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                full, block, (0, start_scale, 0, 0)
+            )
+    frames = jnp.moveaxis(frames_cmaj, 1, -1)
+    return scale_features(
+        refp,
+        frames,
+        skip_scales=start_scale,
+        input_scale=start_scale,
+        max_scale=start_scale + num_scales,
+    )
+
+
 def score_from_features(f: jax.Array) -> jax.Array:
     """(..., NUM_SCALES, 3, 6) features -> SSIMULACRA2 score (<= 100)."""
     # (..., scales, C, 6) -> weight-ordered (..., C, scales, n, metric)

@@ -54,13 +54,20 @@ def test_schedule_nes_mode():
 def test_channel_schedule_observed_path_matches_fast(small_image):
     """--schedule channel with an on_slot callback must run channel visits
     (regression: _step_visits ignored config.schedule, yielding 'random'
-    visits with step_key=None and crashing) and reproduce the fast path's
-    state bit-for-bit."""
+    visits with step_key=None and crashing) and converge equivalently to
+    the fast path.
+
+    Not bit-identical: the fast sweep and the per-slot functions are
+    separate XLA compilations whose f32 fusion differences can flip
+    near-tie candidate selections (see test_refine.py
+    test_sweep_matches_per_slot_path); both paths run the same schedule
+    and accept only strict improvements, so final errors must agree."""
     cfg = _cfg(schedule="channel", max_steps=1)
     st = new_state(small_image, cfg)
     st = pipeline.initialize(st, cfg)
     st = pipeline.cluster(st, cfg)
     refp = make_reference_pyramid(st)
+    start = float(error_of(st, cfg, refp))
 
     fast_state, fast_errs = pipeline.optimize(st, cfg, refp=refp)
     methods = []
@@ -68,13 +75,11 @@ def test_channel_schedule_observed_path_matches_fast(small_image):
         st, cfg, refp=refp, on_slot=lambda v, e: methods.append(v.method)
     )
     assert set(methods) == {"channel"}
-    np.testing.assert_array_equal(
-        np.asarray(fast_state.palette), np.asarray(obs_state.palette)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(fast_state.palette_map), np.asarray(obs_state.palette_map)
-    )
-    assert fast_errs == obs_errs
+    e_fast = float(error_of(fast_state, cfg, refp))
+    e_obs = float(error_of(obs_state, cfg, refp))
+    assert e_fast <= start and e_obs <= start
+    assert abs(e_fast - e_obs) < 0.5, (e_fast, e_obs)
+    assert abs(fast_errs[-1] - obs_errs[-1]) < 0.5
 
 
 def test_full_run_improves_error(small_image):

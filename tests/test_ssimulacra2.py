@@ -191,3 +191,40 @@ def test_golden_score_values():
     half = img[::2, ::2].repeat(2, 0).repeat(2, 1)
     got = float(ssimulacra2(jnp.asarray(img), jnp.asarray(half)))
     assert abs(got - (-38.2173)) < 0.05, got
+
+
+def test_multiscale_fused_block_matches_xla(rng):
+    """The multi-scale fused kernel (interpret mode on CPU) must match the
+    XLA feature path: in-kernel XYB conversion (exp/log cbrt), blur,
+    feature maps, and in-kernel downsampling across scales."""
+    from snesimage_tpu.ops.ssimulacra2 import (
+        fused_scale_feature_block,
+        reference_pyramid,
+        scale_features,
+    )
+
+    h = w = 64
+    ref = jnp.asarray(_img(rng, h, w))
+    refp = reference_pyramid(ref)
+    frames = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
+    frames_cmaj = jnp.moveaxis(frames, -1, 1)
+
+    for start, num in ((0, 2), (2, 4), (0, 6)):
+        if start:
+            fr = frames
+            for _ in range(start):
+                fr = downsample2(fr)
+            fr_cmaj = jnp.moveaxis(fr, -1, 1)
+        else:
+            fr, fr_cmaj = frames, frames_cmaj
+        got = np.asarray(
+            fused_scale_feature_block(refp, fr_cmaj, start, num, interpret=True)
+        )
+        want = np.asarray(
+            scale_features(
+                refp, fr, skip_scales=start, input_scale=start,
+                max_scale=start + num,
+            )
+        )
+        assert got.shape == want.shape == (2, 6, 3, 6)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
