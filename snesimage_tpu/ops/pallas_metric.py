@@ -83,13 +83,13 @@ def _features_kernel(img1_ref, mu1_ref, s11_ref, img2_ref, out_ref):
     _features_core(img1_ref[0], mu1_ref[0], s11_ref[0], img2_ref[0], out_ref, (0,))
 
 
-def _feature_sums(x1, m1, v1, x2, taps) -> list:
+def _feature_sums(x1, m1, v1, x2, blur_fn) -> list:
     """The six raw moments of one (channel, scale) feature map pair:
     [sum(ssim_d), sum(art), sum(det), sum(ssim_d^4), sum(art^4),
     sum(det^4)] — the fused form of ops/ssimulacra2.py _scale_features."""
-    mu2 = _blur2d(x2, taps)
-    s22 = _blur2d(x2 * x2, taps)
-    s12 = _blur2d(x1 * x2, taps)
+    mu2 = blur_fn(x2)
+    s22 = blur_fn(x2 * x2)
+    s12 = blur_fn(x1 * x2)
 
     mu_diff = m1 - mu2
     num_m = 1.0 - mu_diff * mu_diff
@@ -119,7 +119,8 @@ def _feature_sums(x1, m1, v1, x2, taps) -> list:
 
 
 def _features_core(x1, m1, v1, x2, out_ref, out_idx):
-    sums = _feature_sums(x1, m1, v1, x2, _taps())
+    taps = _taps()
+    sums = _feature_sums(x1, m1, v1, x2, lambda t: _blur2d(t, taps))
     # Scalar stores to VMEM are not supported: assemble the six sums into
     # the (8, 128) output tile with masked broadcasts and store it whole.
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -296,6 +297,8 @@ def multiscale_feature_sums(
     Returns (B, n_scales, 3, 6) raw sums in _feature_sums order; divide by
     h_s*w_s and fourth-root outside.
     """
+    from snesimage_tpu.ops.ssimulacra2 import _blur_matrix
+
     n = len(ref_scales)
     b, _, h, w = frames.shape
     rows = n * 3
@@ -305,13 +308,24 @@ def multiscale_feature_sums(
         for si in range(n - 1)
     ]
     flat_refs = [a for triple in ref_scales for a in triple]
+    # One banded blur matrix per distinct plane edge length (the same
+    # matrices the XLA path multiplies with, ops/ssimulacra2.py blur):
+    # in-kernel the blur runs as two MXU matmuls per field instead of the
+    # VPU shift-add FIR — on the sub-128 planes of the coarse scales the
+    # FIR wastes most of each (8, 128) vreg, measured ~2.4x off roofline.
+    blur_sizes: list[int] = []
+    for si in range(n):
+        for edge in ref_scales[si][0].shape[-2:]:
+            if edge not in blur_sizes:
+                blur_sizes.append(edge)
+    blur_mats = [jnp.asarray(_blur_matrix(sz)) for sz in blur_sizes]
 
     def kernel(*args):
         fr_ref = args[0]
         refs = args[1 : 1 + 3 * n]
         pool_refs = args[1 + 3 * n : 1 + 3 * n + (n - 1)]
+        blur_refs = args[1 + 3 * n + (n - 1) : -1]
         out_ref = args[-1]
-        taps = _taps()
         r, g, bb = fr_ref[0, 0], fr_ref[0, 1], fr_ref[0, 2]
         row = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 1)
@@ -320,6 +334,25 @@ def multiscale_feature_sums(
             if si:
                 pw = pool_refs[si - 1][:]
                 r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
+            hs, ws = ref_scales[si][0].shape[-2:]
+            brow = blur_refs[blur_sizes.index(hs)][:]
+            bcol = blur_refs[blur_sizes.index(ws)][:]
+
+            def blur_fn(t, brow=brow, bcol=bcol):
+                # Banded matrices are symmetric, so t @ bcol == t @ bcol.T.
+                tmp = jnp.dot(
+                    brow,
+                    t,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.dot(
+                    tmp,
+                    bcol,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
             xyb = _opsin_xyb(r, g, bb)
             for c in range(3):
                 sums = _feature_sums(
@@ -327,7 +360,7 @@ def multiscale_feature_sums(
                     refs[3 * si + 1][c],
                     refs[3 * si + 2][c],
                     xyb[c],
-                    taps,
+                    blur_fn,
                 )
                 ri = si * 3 + c
                 for k, v in enumerate(sums):
@@ -352,6 +385,10 @@ def multiscale_feature_sums(
                 (ws, ws // 2), lambda i: (0, 0), memory_space=pltpu.VMEM
             )
         )
+    for sz in blur_sizes:
+        in_specs.append(
+            pl.BlockSpec((sz, sz), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -362,5 +399,5 @@ def multiscale_feature_sums(
         ),
         out_shape=jax.ShapeDtypeStruct((b, r_pad, 128), jnp.float32),
         interpret=interpret,
-    )(frames, *flat_refs, *pools)
+    )(frames, *flat_refs, *pools, *blur_mats)
     return out[:, :rows, :6].reshape(b, n, 3, 6)
