@@ -29,9 +29,11 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from functools import partial
 from typing import Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from snesimage_tpu.config import QuantConfig
@@ -129,6 +131,74 @@ def reassign_tile(
     return state
 
 
+@partial(jax.jit, static_argnames=("config", "cap"))
+def _optimize_fused(
+    state: QuantState, config: QuantConfig, refp, max_steps, start_step, cap: int
+):
+    """The whole refinement loop as ONE XLA program: a while_loop over
+    full-sweep steps with the convergence check on-device.
+
+    The host-driven fast path dispatches one sweep per step and syncs on
+    its error for the plateau test — at ~20 ms of dispatch+sync latency
+    per step that is a measurable slice of a ~2 s run. Here the host sees
+    only the final (state, per-step errors, step count). Schedule, RNG
+    stream (fold_in(seed, start_step), split-per-random-step) and the
+    stop rule (step_errors[-2] - step_errors[-1] < tol after the 2nd
+    step) mirror `optimize` exactly.
+
+    `max_steps` and `start_step` are DYNAMIC (one compilation serves any
+    step budget up to the static buffer bound `cap`, so a short warm-up
+    run compiles the program a full run reuses)."""
+    key0 = jax.random.fold_in(jax.random.key(config.seed), start_step)
+    tol = jnp.float32(config.converge_tol)
+    max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+
+    def step_fn(st, key, step):
+        if config.nes:
+            res = sweep_nes(st, config, refp)
+            return res.state, res.error, key
+        if config.schedule == "channel":
+            res = sweep_channel(st, config, refp)
+            return res.state, res.error, key
+        def do_random(operand):
+            st, key = operand
+            key, sub = jax.random.split(key)
+            res = sweep_random(st, config, refp, sub)
+            return res.state, res.error, key
+        def do_channel(operand):
+            st, key = operand
+            res = sweep_channel(st, config, refp)
+            return res.state, res.error, key
+        return jax.lax.cond(
+            step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
+            do_random,
+            do_channel,
+            (st, key),
+        )
+
+    def cond(carry):
+        _, _, local, _, _, done = carry
+        return (local < max_steps) & ~done
+
+    def body(carry):
+        st, key, local, prev, errs, _ = carry
+        st, err, key = step_fn(st, key, start_step + local)
+        errs = errs.at[local].set(err)
+        done = (tol > 0) & (prev - err < tol)
+        return st, key, local + 1, err, errs, done
+
+    init = (
+        state,
+        key0,
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+        jnp.full((cap,), jnp.inf, jnp.float32),
+        jnp.bool_(False),
+    )
+    st, _, n, _, errs, _ = jax.lax.while_loop(cond, body, init)
+    return st, errs, n
+
+
 def optimize(
     state: QuantState,
     config: QuantConfig,
@@ -154,6 +224,19 @@ def optimize(
         refp = make_reference_pyramid(state)
     if max_steps is None:
         max_steps = config.max_steps
+
+    if on_slot is None and reassign_every == 0 and max_steps > 0:
+        # Fully fused path: one dispatch for the whole loop (see
+        # _optimize_fused). The host-stepped loop below remains for the
+        # observed (-v) and periodic-reassignment modes.
+        cap = max(config.max_steps, max_steps)
+        state, errs, n = _optimize_fused(
+            state, config, refp, max_steps, start_step, cap
+        )
+        step_errors = [float(e) for e in np.asarray(errs)[: int(n)]]
+        for local, err in enumerate(step_errors):
+            log.info("step %d error: %f", start_step + local, err)
+        return state, step_errors
 
     key = jax.random.fold_in(jax.random.key(config.seed), start_step)
     step_errors: list[float] = []
