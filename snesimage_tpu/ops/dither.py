@@ -155,11 +155,16 @@ def remap_dithered(
 
 
 def _use_pallas_dither(perceptual: bool) -> bool:
+    """Both distance modes run the fused wavefront kernel on TPU; the
+    perceptual variant computes CIELAB/CIEDE2000 in-kernel (see
+    ops/pallas_dither.py — its polynomial sRGB decode differs from the
+    XLA scan's exact u8 LUT by <5e-6 relative, ~1e-3 in distance)."""
     import os
 
     if os.environ.get("SNESIMAGE_NO_PALLAS"):
         return False
-    return not perceptual and jax.default_backend() == "tpu"
+    del perceptual
+    return jax.default_backend() == "tpu"
 
 
 def _prep_skewed(original_rgb, alpha, tile_palettes, palette5, p):
@@ -215,15 +220,25 @@ def dither_candidates(
     """
     if _use_pallas_dither(perceptual):
         from snesimage_tpu.ops.color import expand_5bit_to_8bit as _exp
+        from snesimage_tpu.ops.color import srgb_u8_to_lab
         from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
 
         orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, (h, w, _) = (
             _prep_skewed(original_rgb, alpha, tile_palettes, palette5, p)
         )
-        cand8 = _exp(cand5).astype(jnp.float32)
+        cand8i = _exp(cand5.astype(jnp.int32))
+        cand8 = cand8i.astype(jnp.float32)
+        entries_lab = cand_lab = None
+        if perceptual:
+            ent8i = _exp(palette5)  # (C, S, 3) int
+            s = ent8i.shape[1]
+            entries_lab = jnp.transpose(
+                srgb_u8_to_lab(ent8i), (0, 2, 1)
+            ).reshape(-1, 3 * s)
+            cand_lab = srgb_u8_to_lab(cand8i)
         out = dither_remap_candidates(
             orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, cand8, i,
-            img_w=w,
+            entries_lab, cand_lab, img_w=w,
         )  # (B, WSp, H)
         maps_hw = jnp.swapaxes(out, 1, 2)  # (B, H, WSp)
         yy, cc = _skew_indices(h, w)

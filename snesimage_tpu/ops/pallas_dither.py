@@ -37,12 +37,20 @@ with entry ``i``'s distance replaced by the distance to each candidate's
 color for affected pixels — the same incremental trick as the undithered
 path (core/refine.py), so candidate palettes are never materialized.
 
-Scope: red-mean distance only (BASELINE config 3). The perceptual+dither
-combination keeps the XLA scan (CIEDE2000 inside the dependent loop).
-Distances are f32 (the reference's f64 strict-< ties can flip on exact
+Distance modes: red-mean (BASELINE config 3) and CIEDE2000
+(--perceptual-palettes + -d, reference config.rs:21-27). The perceptual
+variant computes the target's CIELAB in-kernel — sRGB decode via a
+degree-12 polynomial (max 4.5e-6 relative vs the exact u8 LUT, which
+cannot be gathered per-lane in Mosaic) and cube roots via exp/log with
+one Newton refinement — then the full CIEDE2000 formula on (B, H)
+channel planes (entry-side Lab is precomputed outside). Distances are
+f32 either way (the reference's f64 strict-< ties can flip on exact
 equality; the dither path is tolerance-validated against the serial C++
-oracle). vmap does NOT compose with this kernel — batched multi-image
-callers use the XLA fallback (parallel/batch.py `_no_pallas_under_vmap`).
+oracle, and the perceptual kernel additionally differs from the XLA
+scan's LUT-exact decode by ~1e-3 in distance — near-tie selections may
+flip; see tests). vmap does NOT compose with this kernel — batched
+multi-image callers use the XLA fallback (parallel/batch.py
+`_no_pallas_under_vmap`).
 
 Reference semantics implemented: src/lib.rs:425-501 (scan order, 0.8
 damping, FS weights, transparent error pass-through, clamp+round target,
@@ -63,15 +71,201 @@ from snesimage_tpu.constants import DITHER_DAMPING, DITHER_WEIGHTS
 
 _CHUNK = 32
 
+# Degree-12 Chebyshev-fit polynomial for y^2.4 on y = (x+0.055)/1.055,
+# x in [0.04045, 1] (the sRGB decode curve above the linear toe),
+# fitted to relative error over the 245 reachable u8 grid points; f32
+# Horner evaluation measures max 4.5e-6 relative vs the exact f64 LUT.
+_SRGB_POLY = np.array(
+    [
+        5.7367703e-05, -4.2490871e-03, 2.7711338e-01, 1.9621818e+00,
+        -4.9647684e+00, 1.3819921e+01, -3.1114300e+01, 5.2873646e+01,
+        -6.5417755e+01, 5.6756046e+01, -3.2588703e+01, 1.1091901e+01,
+        -1.6910900e+00,
+    ],
+    dtype=np.float32,
+)
+
+# CIELAB / CIEDE2000 constants (ops/color.py; palette crate semantics).
+_RGB2XYZ = np.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ],
+    dtype=np.float32,
+)
+_D65 = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
+_LAB_DELTA = np.float32(6.0 / 29.0)
+_POW25_7 = np.float32(25.0**7)
+
+
+def _srgb_decode_plane(v):
+    """u8-valued f32 plane -> linear RGB (polynomial decode, see above)."""
+    x = v * np.float32(1.0 / 255.0)
+    y = (x + np.float32(0.055)) * np.float32(1.0 / 1.055)
+    acc = jnp.full_like(y, _SRGB_POLY[-1])
+    for c in _SRGB_POLY[-2::-1]:
+        acc = acc * y + c
+    return jnp.where(x <= np.float32(0.04045), x * np.float32(1.0 / 12.92), acc)
+
+
+def _cbrt_plane(x):
+    """Cube root of a non-negative plane: exp/log seed + one Newton step
+    (f32-accurate; Mosaic has no cbrt primitive)."""
+    seed = jnp.exp(jnp.log(jnp.maximum(x, 1e-30)) * np.float32(1.0 / 3.0))
+    return (2.0 * seed + x / (seed * seed)) * np.float32(1.0 / 3.0)
+
+
+def _lab_planes(vr, vg, vb):
+    """u8-valued f32 channel planes -> CIELAB planes (ops/color.py
+    srgb_u8_to_lab, with the polynomial decode)."""
+    lr = _srgb_decode_plane(vr)
+    lg = _srgb_decode_plane(vg)
+    lb = _srgb_decode_plane(vb)
+    fs = []
+    for row in range(3):
+        t = (
+            _RGB2XYZ[row, 0] * lr + _RGB2XYZ[row, 1] * lg + _RGB2XYZ[row, 2] * lb
+        ) * np.float32(1.0 / _D65[row])
+        fs.append(
+            jnp.where(
+                t > _LAB_DELTA**3,
+                _cbrt_plane(t),
+                t * np.float32(1.0 / (3.0 * _LAB_DELTA**2))
+                + np.float32(4.0 / 29.0),
+            )
+        )
+    fx, fy, fz = fs
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _atan_poly(z):
+    """Cephes atanf core polynomial, |z| <= tan(pi/8)."""
+    t = z * z
+    return (
+        ((np.float32(8.05374449538e-2) * t - np.float32(1.38776856032e-1)) * t
+         + np.float32(1.99777106478e-1)) * t
+        - np.float32(3.33329491539e-1)
+    ) * t * z + z
+
+
+def _atan_planes(x):
+    """f32 arctan via Cephes range reduction (~1 ulp); Mosaic has no atan."""
+    ax = jnp.abs(x)
+    t3 = np.float32(0.4142135623730950)  # tan(pi/8)
+    t8 = np.float32(2.414213562373095)  # tan(3pi/8)
+    inv = jnp.where(ax > np.float32(1e-30), 1.0 / jnp.maximum(ax, 1e-30), 0.0)
+    hi = ax > t8
+    mid = (ax > t3) & ~hi
+    z = jnp.where(hi, -inv, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    base = jnp.where(
+        hi,
+        np.float32(np.pi / 2),
+        jnp.where(mid, np.float32(np.pi / 4), 0.0),
+    )
+    return jnp.sign(x) * (base + _atan_poly(z))
+
+
+def _atan2_planes(y, x):
+    """f32 atan2 on planes (atan2(0, 0) == 0, matching jnp.arctan2)."""
+    ang = _atan_planes(y / jnp.where(x == 0.0, 1.0, x))
+    pi = np.float32(np.pi)
+    quad = jnp.where(
+        x < 0.0, jnp.where(y < 0.0, ang - pi, ang + pi), ang
+    )
+    on_axis = jnp.where(
+        y == 0.0,
+        jnp.where(x < 0.0, pi, 0.0),
+        jnp.sign(y) * np.float32(np.pi / 2),
+    )
+    return jnp.where(x == 0.0, jnp.where(y == 0.0, 0.0, on_axis), quad)
+
+
+def _ciede2000_planes(l1, a1, b1, l2, a2, b2):
+    """CIEDE2000 on channel planes — same math as ops/color.py ciede2000
+    (Sharma et al. 2005), with the % 360 wraps rewritten as selects."""
+    deg = np.float32(180.0 / np.pi)
+    rad = np.float32(np.pi / 180.0)
+    c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+    c2 = jnp.sqrt(a2 * a2 + b2 * b2)
+    cbar = 0.5 * (c1 + c2)
+    cbar7 = (cbar * cbar * cbar) ** 2 * cbar
+    g = 0.5 * (1.0 - jnp.sqrt(cbar7 / (cbar7 + _POW25_7)))
+    a1p = (1.0 + g) * a1
+    a2p = (1.0 + g) * a2
+    c1p = jnp.sqrt(a1p * a1p + b1 * b1)
+    c2p = jnp.sqrt(a2p * a2p + b2 * b2)
+
+    h1p = _atan2_planes(b1, a1p) * deg
+    h1p = jnp.where(h1p < 0.0, h1p + 360.0, h1p)
+    h2p = _atan2_planes(b2, a2p) * deg
+    h2p = jnp.where(h2p < 0.0, h2p + 360.0, h2p)
+
+    dlp = l2 - l1
+    dcp = c2p - c1p
+    prod_zero = (c1p * c2p) == 0.0
+    hdiff = h2p - h1p
+    dhp = jnp.where(
+        prod_zero,
+        0.0,
+        jnp.where(
+            jnp.abs(hdiff) <= 180.0,
+            hdiff,
+            jnp.where(hdiff > 180.0, hdiff - 360.0, hdiff + 360.0),
+        ),
+    )
+    dHp = 2.0 * jnp.sqrt(c1p * c2p) * jnp.sin(dhp * rad * 0.5)
+
+    lbar = 0.5 * (l1 + l2)
+    cbarp = 0.5 * (c1p + c2p)
+    hsum = h1p + h2p
+    hbarp = jnp.where(
+        prod_zero,
+        hsum,
+        jnp.where(
+            jnp.abs(h1p - h2p) <= 180.0,
+            0.5 * hsum,
+            jnp.where(hsum < 360.0, 0.5 * (hsum + 360.0), 0.5 * (hsum - 360.0)),
+        ),
+    )
+    t = (
+        1.0
+        - 0.17 * jnp.cos((hbarp - 30.0) * rad)
+        + 0.24 * jnp.cos(2.0 * hbarp * rad)
+        + 0.32 * jnp.cos((3.0 * hbarp + 6.0) * rad)
+        - 0.20 * jnp.cos((4.0 * hbarp - 63.0) * rad)
+    )
+    dtheta = 30.0 * jnp.exp(-(((hbarp - 275.0) * np.float32(1.0 / 25.0)) ** 2))
+    cbarp7 = (cbarp * cbarp * cbarp) ** 2 * cbarp
+    rc = 2.0 * jnp.sqrt(cbarp7 / (cbarp7 + _POW25_7))
+    lm50 = (lbar - 50.0) ** 2
+    sl = 1.0 + 0.015 * lm50 / jnp.sqrt(20.0 + lm50)
+    sc = 1.0 + 0.045 * cbarp
+    sh = 1.0 + 0.015 * cbarp * t
+    rt = -jnp.sin(2.0 * dtheta * rad) * rc
+    tl = dlp / sl
+    tc = dcp / sc
+    th = dHp / sh
+    return jnp.sqrt(jnp.maximum(tl * tl + tc * tc + th * th + rt * tc * th, 0.0))
+
 
 @functools.lru_cache(maxsize=None)
-def _make_kernel(img_w: int, s_entries: int, c_subpals: int, b_cands: int):
+def _make_kernel(
+    img_w: int, s_entries: int, c_subpals: int, b_cands: int,
+    perceptual: bool = False,
+):
     wgt = np.asarray(DITHER_WEIGHTS, dtype=np.float32) * np.float32(DITHER_DAMPING)
     s = s_entries
     b = b_cands
 
-    def kernel(i_ref, ent_ref, cand_ref, orig_ref, tp_ref, aff_ref, alpha_ref,
-               xof_ref, out_ref, err_ref):
+    def kernel(*args):
+        if perceptual:
+            (i_ref, ent_ref, cand_ref, entlab_ref, candlab_ref, orig_ref,
+             tp_ref, aff_ref, alpha_ref, xof_ref, out_ref, err_ref) = args
+        else:
+            (i_ref, ent_ref, cand_ref, orig_ref, tp_ref, aff_ref, alpha_ref,
+             xof_ref, out_ref, err_ref) = args
+            entlab_ref = candlab_ref = None
         w_chunk = pl.program_id(0)
         h = orig_ref.shape[2]
         i_entry = i_ref[0]
@@ -106,12 +300,17 @@ def _make_kernel(img_w: int, s_entries: int, c_subpals: int, b_cands: int):
 
             # Per-pixel subpalette entry colors for this column, from the
             # tiny entry table: 3*S rows of (1, H).
-            sub_rows = []
-            for e_row in range(3 * s):
-                acc = jnp.zeros((1, h), jnp.float32)
-                for c in range(c_subpals):
-                    acc = acc + jnp.where(tp_row == c, ent_ref[c, e_row], 0.0)
-                sub_rows.append(acc)
+            def table_rows(ref):
+                rows = []
+                for e_row in range(3 * s):
+                    acc = jnp.zeros((1, h), jnp.float32)
+                    for c in range(c_subpals):
+                        acc = acc + jnp.where(tp_row == c, ref[c, e_row], 0.0)
+                    rows.append(acc)
+                return rows
+
+            sub_rows = table_rows(ent_ref)
+            sub_lab = table_rows(entlab_ref) if perceptual else None
 
             # unrounded targets (used for the diffused error) and their
             # clamp+round-half-away u8 forms (used for distances),
@@ -122,6 +321,9 @@ def _make_kernel(img_w: int, s_entries: int, c_subpals: int, b_cands: int):
             tr = jnp.floor(jnp.clip(t0_r, 0.0, 255.0) + 0.5)
             tg = jnp.floor(jnp.clip(t0_g, 0.0, 255.0) + 0.5)
             tb = jnp.floor(jnp.clip(t0_b, 0.0, 255.0) + 0.5)
+            if perceptual:
+                # Target CIELAB once per step, shared by all S entries.
+                t_l, t_a, t_b2 = _lab_planes(tr, tg, tb)
 
             best_d = None
             best_i = jnp.zeros((b, h), jnp.int32)
@@ -136,7 +338,15 @@ def _make_kernel(img_w: int, s_entries: int, c_subpals: int, b_cands: int):
                 e_r = jnp.where(ovr, cand_r, er)  # (B, H)
                 e_g = jnp.where(ovr, cand_g, eg)
                 e_b = jnp.where(ovr, cand_b, eb)
-                d_s = redmean(tr, tg, tb, e_r, e_g, e_b)
+                if perceptual:
+                    e_l = jnp.where(ovr, candlab_ref[0], sub_lab[s_idx])
+                    e_a = jnp.where(ovr, candlab_ref[1], sub_lab[s + s_idx])
+                    e_b3 = jnp.where(ovr, candlab_ref[2], sub_lab[2 * s + s_idx])
+                    # Reference order color_distance_cielab(entry, target)
+                    # — CIEDE2000 is symmetric (src/lib.rs:1090-1100).
+                    d_s = _ciede2000_planes(t_l, t_a, t_b2, e_l, e_a, e_b3)
+                else:
+                    d_s = redmean(tr, tg, tb, e_r, e_g, e_b)
                 if best_d is None:
                     best_d = d_s
                     nc_r = jnp.broadcast_to(e_r, (b, h))
@@ -202,12 +412,17 @@ def dither_remap_candidates(
     xof_sk: jax.Array,  # (WSp, H) i32
     cand8: jax.Array,  # (B, 3) f32 (8-bit expanded candidate colors)
     i_entry: jax.Array,  # () or (1,) i32
+    entries_lab: jax.Array | None = None,  # (C, 3*S) f32 Lab rows
+    cand_lab: jax.Array | None = None,  # (B, 3) f32 Lab candidate colors
     *,
     img_w: int,
     interpret: bool = False,
 ) -> jax.Array:
     """Full dithered remap for B candidate colors of one palette slot,
     all candidates advancing through the wavefront together.
+
+    Pass `entries_lab`/`cand_lab` (precomputed CIELAB of the same colors)
+    to select the CIEDE2000 distance (--perceptual-palettes).
 
     Returns (B, WSp, H) int32 palette-map columns in skewed layout.
     """
@@ -217,11 +432,10 @@ def dither_remap_candidates(
     assert s3 % 3 == 0
     nchunk = wsp // _CHUNK
     b = cand8.shape[0]
+    perceptual = entries_lab is not None
 
-    # Candidate colors pre-broadcast along H: (3, B, H).
-    cand_cols = jnp.broadcast_to(
-        cand8.astype(jnp.float32).T[:, :, None], (3, b, h)
-    )
+    def bcast_cols(v):  # (B, 3) -> (3, B, H)
+        return jnp.broadcast_to(v.astype(jnp.float32).T[:, :, None], (3, b, h))
 
     def shared(blk):
         ndim = len(blk)
@@ -231,33 +445,46 @@ def dither_remap_candidates(
             memory_space=pltpu.VMEM,
         )
 
+    cand_spec = pl.BlockSpec(
+        (3, b, h), lambda wi: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # entry table: scalar reads
+        cand_spec,
+    ]
+    operands = [
+        jnp.atleast_1d(jnp.asarray(i_entry, dtype=jnp.int32)),
+        entries.astype(jnp.float32),
+        bcast_cols(cand8),
+    ]
+    if perceptual:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM), cand_spec]
+        operands += [entries_lab.astype(jnp.float32), bcast_cols(cand_lab)]
+    in_specs += [
+        shared((_CHUNK, 3, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+    ]
+    operands += [
+        orig_sk.astype(jnp.float32),
+        tp_sk.astype(jnp.int32),
+        aff_sk.astype(jnp.int32),
+        alpha_sk.astype(jnp.int32),
+        xof_sk.astype(jnp.int32),
+    ]
+
     out = pl.pallas_call(
-        _make_kernel(img_w, s3 // 3, c_subpals, b),
+        _make_kernel(img_w, s3 // 3, c_subpals, b, perceptual),
         grid=(nchunk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # entry table: scalar reads
-            pl.BlockSpec((3, b, h), lambda wi: (0, 0, 0), memory_space=pltpu.VMEM),
-            shared((_CHUNK, 3, h)),
-            shared((_CHUNK, h)),
-            shared((_CHUNK, h)),
-            shared((_CHUNK, h)),
-            shared((_CHUNK, h)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (_CHUNK, b, h), lambda wi: (wi, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((wsp, b, h), jnp.int32),
         scratch_shapes=[pltpu.VMEM((9, b, h), jnp.float32)],
         interpret=interpret,
-    )(
-        jnp.atleast_1d(jnp.asarray(i_entry, dtype=jnp.int32)),
-        entries.astype(jnp.float32),
-        cand_cols,
-        orig_sk.astype(jnp.float32),
-        tp_sk.astype(jnp.int32),
-        aff_sk.astype(jnp.int32),
-        alpha_sk.astype(jnp.int32),
-        xof_sk.astype(jnp.int32),
-    )
+    )(*operands)
     return jnp.moveaxis(out, 0, 1)  # (B, WSp, H)

@@ -238,3 +238,82 @@ def test_dithered_perceptual_matches_oracle(rng):
     )
     agree = (got == want).mean()
     assert agree > 0.97, f"agreement {agree}"
+
+
+def test_srgb_poly_decode_matches_lut():
+    """The in-kernel polynomial sRGB decode (ops/pallas_dither.py) must
+    match the exact u8 LUT to <5e-6 relative over all 256 codes."""
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import srgb_u8_to_linear
+    from snesimage_tpu.ops.pallas_dither import _srgb_decode_plane
+
+    v = np.arange(256, dtype=np.float32)
+    got = np.asarray(_srgb_decode_plane(jnp_.asarray(v)))
+    want = np.asarray(srgb_u8_to_linear(jnp_.arange(256)))
+    rel = np.abs(got - want) / np.maximum(want, 1e-9)
+    assert rel.max() < 5e-6, rel.max()
+
+
+def test_lab_planes_match_reference_conversion(rng):
+    """In-kernel plane-form CIELAB (polynomial decode + Newton cbrt) vs
+    ops/color.py srgb_u8_to_lab (LUT decode): max abs error well under
+    CIEDE2000 near-tie scales."""
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import srgb_u8_to_lab
+    from snesimage_tpu.ops.pallas_dither import _lab_planes
+
+    rgb = rng.integers(0, 256, (64, 3)).astype(np.int32)
+    want = np.asarray(srgb_u8_to_lab(jnp_.asarray(rgb)))
+    planes = _lab_planes(
+        jnp_.asarray(rgb[:, 0].astype(np.float32))[None, :],
+        jnp_.asarray(rgb[:, 1].astype(np.float32))[None, :],
+        jnp_.asarray(rgb[:, 2].astype(np.float32))[None, :],
+    )
+    got = np.stack([np.asarray(p)[0] for p in planes], axis=-1)
+    assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
+
+
+def test_pallas_dither_kernel_perceptual_matches_oracle(rng):
+    """The CIEDE2000 wavefront kernel variant (interpret mode) must agree
+    with the serial C++ oracle's perceptual dither path (near-tie flips
+    from the polynomial-vs-LUT decode difference are tolerated)."""
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import expand_5bit_to_8bit, srgb_u8_to_lab
+    from snesimage_tpu.ops.dither import _prep_skewed, _skew_indices
+    from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+    h = w = 16
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    rgba[0:8, 0:8, 3] = 0
+    tp = rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32)
+    pal = rng.integers(0, 32, (2, 4, 3)).astype(np.int32)
+    p, i = 1, 2
+    cands = rng.integers(0, 32, (2, 3)).astype(np.int32)
+
+    orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk, (hh, ww, _) = (
+        _prep_skewed(
+            jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), p,
+        )
+    )
+    cand8i = expand_5bit_to_8bit(jnp.asarray(cands))
+    ent8i = expand_5bit_to_8bit(jnp.asarray(pal))
+    s = ent8i.shape[1]
+    entries_lab = jnp_.transpose(srgb_u8_to_lab(ent8i), (0, 2, 1)).reshape(
+        -1, 3 * s
+    )
+    out = dither_remap_candidates(
+        orig_sk, entries_cm, tp_sk, aff_sk, alpha_sk, xof_sk,
+        cand8i.astype(jnp_.float32), i, entries_lab, srgb_u8_to_lab(cand8i),
+        img_w=w, interpret=True,
+    )
+    yy, cc = _skew_indices(h, w)
+    maps = np.asarray(jnp_.swapaxes(out, 1, 2))[:, np.asarray(yy), np.asarray(cc)]
+
+    for b, c5 in enumerate(cands):
+        pal_b = pal.copy()
+        pal_b[p, i] = c5
+        want = oracle_remap(rgba, tp, pal_b, dither=True, perceptual=True)
+        agree = (maps[b] == want).mean()
+        assert agree > 0.95, f"candidate {b}: agreement {agree}"
