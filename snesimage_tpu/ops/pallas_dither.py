@@ -48,9 +48,10 @@ f32 either way (the reference's f64 strict-< ties can flip on exact
 equality; the dither path is tolerance-validated against the serial C++
 oracle, and the perceptual kernel additionally differs from the XLA
 scan's LUT-exact decode by ~1e-3 in distance — near-tie selections may
-flip; see tests). vmap does NOT compose with this kernel — batched
-multi-image callers use the XLA fallback (parallel/batch.py
-`_no_pallas_under_vmap`).
+flip; see tests). `jax.vmap` over a leading image axis composes via a
+custom batching rule: the batch folds into the kernel's leading image
+grid dimension (all per-image operands indexed by program_id(0)), which
+is how parallel/batch.py runs batched dithered sweeps on-kernel.
 
 Reference semantics implemented: src/lib.rs:425-501 (scan order, 0.8
 damping, FS weights, transparent error pass-through, clamp+round target,
@@ -266,12 +267,13 @@ def _make_kernel(
             (i_ref, ent_ref, cand_ref, orig_ref, tp_ref, aff_ref, alpha_ref,
              xof_ref, out_ref, err_ref) = args
             entlab_ref = candlab_ref = None
-        w_chunk = pl.program_id(0)
-        h = orig_ref.shape[2]
-        i_entry = i_ref[0]
-        cand_r = cand_ref[0]  # (B, H)
-        cand_g = cand_ref[1]
-        cand_b = cand_ref[2]
+        im = pl.program_id(0)  # image-batch axis (N=1 for single images)
+        w_chunk = pl.program_id(1)
+        h = orig_ref.shape[3]
+        i_entry = i_ref[im]
+        cand_r = cand_ref[0, 0]  # (B, H)
+        cand_g = cand_ref[0, 1]
+        cand_b = cand_ref[0, 2]
 
         @pl.when(w_chunk == 0)
         def _():
@@ -291,11 +293,11 @@ def _make_kernel(
 
         def step(k, err_win):
             # err_win: tuple of 9 (B, H) planes, [col*3 + channel].
-            orig = orig_ref[k]  # (3, H)
-            tp_row = tp_ref[k][None, :]  # (1, H) int32
-            aff = aff_ref[k][None, :] > 0  # (1, H)
-            opaque = alpha_ref[k][None, :] > 0
-            x1 = xof_ref[k][None, :]
+            orig = orig_ref[0, k]  # (3, H)
+            tp_row = tp_ref[0, k][None, :]  # (1, H) int32
+            aff = aff_ref[0, k][None, :] > 0  # (1, H)
+            opaque = alpha_ref[0, k][None, :] > 0
+            x1 = xof_ref[0, k][None, :]
             valid = x1 >= 0
 
             # Per-pixel subpalette entry colors for this column, from the
@@ -305,7 +307,7 @@ def _make_kernel(
                 for e_row in range(3 * s):
                     acc = jnp.zeros((1, h), jnp.float32)
                     for c in range(c_subpals):
-                        acc = acc + jnp.where(tp_row == c, ref[c, e_row], 0.0)
+                        acc = acc + jnp.where(tp_row == c, ref[im, c, e_row], 0.0)
                     rows.append(acc)
                 return rows
 
@@ -339,9 +341,11 @@ def _make_kernel(
                 e_g = jnp.where(ovr, cand_g, eg)
                 e_b = jnp.where(ovr, cand_b, eb)
                 if perceptual:
-                    e_l = jnp.where(ovr, candlab_ref[0], sub_lab[s_idx])
-                    e_a = jnp.where(ovr, candlab_ref[1], sub_lab[s + s_idx])
-                    e_b3 = jnp.where(ovr, candlab_ref[2], sub_lab[2 * s + s_idx])
+                    e_l = jnp.where(ovr, candlab_ref[0, 0], sub_lab[s_idx])
+                    e_a = jnp.where(ovr, candlab_ref[0, 1], sub_lab[s + s_idx])
+                    e_b3 = jnp.where(
+                        ovr, candlab_ref[0, 2], sub_lab[2 * s + s_idx]
+                    )
                     # Reference order color_distance_cielab(entry, target)
                     # — CIEDE2000 is symmetric (src/lib.rs:1090-1100).
                     d_s = _ciede2000_planes(t_l, t_a, t_b2, e_l, e_a, e_b3)
@@ -387,7 +391,7 @@ def _make_kernel(
             a1g, a2g, a3g = diffused(pe_g)
             a1b, a2b, a3b = diffused(pe_b)
 
-            out_ref[k] = jnp.where(live, best_i, 0)
+            out_ref[0, k] = jnp.where(live, best_i, 0)
             return (
                 err_win[3] + a1r, err_win[4] + a1g, err_win[5] + a1b,
                 err_win[6] + a2r, err_win[7] + a2g, err_win[8] + a2b,
@@ -395,11 +399,109 @@ def _make_kernel(
             )
 
         err0 = tuple(err_ref[j] for j in range(9))
-        err = jax.lax.fori_loop(0, orig_ref.shape[0], step, err0)
+        err = jax.lax.fori_loop(0, orig_ref.shape[1], step, err0)
         for j in range(9):
             err_ref[j] = err[j]
 
     return kernel
+
+
+def _dither_remap_batched(
+    i_vec, entries, cand_cols, labs, orig_sk, tp_sk, aff_sk, alpha_sk,
+    xof_sk, *, img_w: int, interpret: bool,
+):
+    """Batched kernel launch: every operand carries a leading image axis N
+    (N=1 for single-image callers); grid=(N, chunks). labs is () or
+    (entries_lab, cand_lab_cols)."""
+    n, wsp, _, h = orig_sk.shape
+    _, c_subpals, s3 = entries.shape
+    assert wsp % _CHUNK == 0, wsp
+    nchunk = wsp // _CHUNK
+    b = cand_cols.shape[2]
+    perceptual = bool(labs)
+
+    def shared(blk):
+        ndim = len(blk)
+        return pl.BlockSpec(
+            (1,) + blk,
+            lambda im, wi: (im, wi) + (0,) * (ndim - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    cand_spec = pl.BlockSpec(
+        (1, 3, b, h), lambda im, wi: (im, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # entry table: scalar reads
+        cand_spec,
+    ]
+    operands = [i_vec, entries, cand_cols]
+    if perceptual:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM), cand_spec]
+        operands += list(labs)
+    in_specs += [
+        shared((_CHUNK, 3, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+        shared((_CHUNK, h)),
+    ]
+    operands += [orig_sk, tp_sk, aff_sk, alpha_sk, xof_sk]
+
+    return pl.pallas_call(
+        _make_kernel(img_w, s3 // 3, c_subpals, b, perceptual),
+        grid=(n, nchunk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, _CHUNK, b, h),
+            lambda im, wi: (im, wi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, wsp, b, h), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((9, b, h), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.lru_cache(maxsize=None)
+def _core_fn(img_w: int, perceptual: bool, interpret: bool):
+    """custom_vmap wrapper: `jax.vmap` over images maps to the kernel's
+    leading image grid axis instead of (unsupported, hangs) vmap-of-
+    pallas_call. Unbatched operands are broadcast along N — with a shared
+    slot schedule only the per-image tensors differ."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(*args):
+        return _dither_remap_batched(
+            *_pack(tuple(a[None] for a in args)),
+            img_w=img_w, interpret=interpret,
+        )[0]
+
+    def _pack(args):
+        if perceptual:
+            (i_vec, entries, cand_cols, entries_lab, cand_lab_cols,
+             orig_sk, tp_sk, aff_sk, alpha_sk, xof_sk) = args
+            labs = (entries_lab, cand_lab_cols)
+        else:
+            (i_vec, entries, cand_cols, orig_sk, tp_sk, aff_sk, alpha_sk,
+             xof_sk) = args
+            labs = ()
+        return (i_vec[:, 0], entries, cand_cols, labs, orig_sk, tp_sk,
+                aff_sk, alpha_sk, xof_sk)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        full = tuple(
+            a if bb else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, bb in zip(args, in_batched)
+        )
+        return _dither_remap_batched(
+            *_pack(full), img_w=img_w, interpret=interpret
+        ), True
+
+    return core
 
 
 @functools.partial(jax.jit, static_argnames=("img_w", "interpret"))
@@ -424,67 +526,32 @@ def dither_remap_candidates(
     Pass `entries_lab`/`cand_lab` (precomputed CIELAB of the same colors)
     to select the CIEDE2000 distance (--perceptual-palettes).
 
+    `jax.vmap` over a leading image-batch axis is supported: a custom
+    batching rule folds the batch into the kernel's image grid axis
+    (parallel/batch.py relies on this for batched dithered runs).
+
     Returns (B, WSp, H) int32 palette-map columns in skewed layout.
     """
-    wsp, _, h = orig_sk.shape
-    c_subpals, s3 = entries.shape
-    assert wsp % _CHUNK == 0, wsp
-    assert s3 % 3 == 0
-    nchunk = wsp // _CHUNK
+    h = orig_sk.shape[-1]
     b = cand8.shape[0]
     perceptual = entries_lab is not None
 
     def bcast_cols(v):  # (B, 3) -> (3, B, H)
         return jnp.broadcast_to(v.astype(jnp.float32).T[:, :, None], (3, b, h))
 
-    def shared(blk):
-        ndim = len(blk)
-        return pl.BlockSpec(
-            blk,
-            lambda wi: (wi,) + (0,) * (ndim - 1),
-            memory_space=pltpu.VMEM,
-        )
-
-    cand_spec = pl.BlockSpec(
-        (3, b, h), lambda wi: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # entry table: scalar reads
-        cand_spec,
-    ]
-    operands = [
+    args = [
         jnp.atleast_1d(jnp.asarray(i_entry, dtype=jnp.int32)),
         entries.astype(jnp.float32),
         bcast_cols(cand8),
     ]
     if perceptual:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM), cand_spec]
-        operands += [entries_lab.astype(jnp.float32), bcast_cols(cand_lab)]
-    in_specs += [
-        shared((_CHUNK, 3, h)),
-        shared((_CHUNK, h)),
-        shared((_CHUNK, h)),
-        shared((_CHUNK, h)),
-        shared((_CHUNK, h)),
-    ]
-    operands += [
+        args += [entries_lab.astype(jnp.float32), bcast_cols(cand_lab)]
+    args += [
         orig_sk.astype(jnp.float32),
         tp_sk.astype(jnp.int32),
         aff_sk.astype(jnp.int32),
         alpha_sk.astype(jnp.int32),
         xof_sk.astype(jnp.int32),
     ]
-
-    out = pl.pallas_call(
-        _make_kernel(img_w, s3 // 3, c_subpals, b, perceptual),
-        grid=(nchunk,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (_CHUNK, b, h), lambda wi: (wi, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((wsp, b, h), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((9, b, h), jnp.float32)],
-        interpret=interpret,
-    )(*operands)
+    out = _core_fn(img_w, perceptual, interpret)(*args)
     return jnp.moveaxis(out, 0, 1)  # (B, WSp, H)

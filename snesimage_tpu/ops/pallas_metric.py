@@ -294,6 +294,10 @@ def multiscale_feature_sums(
     frames: (B, 3, H, W) f32 candidate frames in LINEAR RGB (the XYB
         conversion runs in-kernel per scale, like the XLA path).
 
+    Does NOT compose with jax.vmap — image-batched callers never reach
+    this function (ops/ssimulacra2.py fused_scale_feature_block detects
+    batch tracers and takes the XLA feature path).
+
     Returns (B, n_scales, 3, 6) raw sums in _feature_sums order; divide by
     h_s*w_s and fourth-root outside.
     """

@@ -114,7 +114,17 @@ def use_pallas_prescreen() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@jax.jit
+def is_batched(*xs) -> bool:
+    """True when any operand is a vmap batch tracer — image-batched
+    callers (parallel/batch.py) must take the XLA fallbacks, because
+    vmap-of-pallas_call hangs Mosaic on shared operands. A plain
+    trace-time Python check: zero cost in the unbatched hot path (a
+    custom_vmap wrapper here measured +15 ms per 360-visit sweep)."""
+    from jax._src.interpreters.batching import BatchTracer
+
+    return any(isinstance(leaf, BatchTracer) for leaf in jax.tree.leaves(xs))
+
+
 def pooled_wins(dcand, bvalm, adj, ml_cmaj):
     """Per-candidate pooled win sums (generic-distance variant).
 
@@ -128,7 +138,7 @@ def pooled_wins(dcand, bvalm, adj, ml_cmaj):
     Returns (B, 4, H//4, W//4) f32 block SUMS (not means):
     [pool4(m), pool4(m * ML_r), pool4(m * ML_g), pool4(m * ML_b)].
     """
-    if use_pallas_prescreen():
+    if use_pallas_prescreen() and not is_batched(dcand, bvalm, adj, ml_cmaj):
         return _pooled_wins_pallas(dcand, bvalm, adj, ml_cmaj)
     return _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj)
 
@@ -213,7 +223,6 @@ def _pooled_wins_redmean_xla(target_cmaj, cand8, bva, ml_cmaj):
     return maps.reshape(b, 4, h // 4, 4, w // 4, 4).sum(axis=(3, 5))
 
 
-@jax.jit
 def pooled_wins_redmean(target_cmaj, cand8, bva, ml_cmaj):
     """Per-candidate pooled win sums, red-mean distance fused in kernel.
 
@@ -226,7 +235,9 @@ def pooled_wins_redmean(target_cmaj, cand8, bva, ml_cmaj):
 
     Returns (B, 4, H//4, W//4) f32 block sums as `pooled_wins`.
     """
-    if use_pallas_prescreen():
+    if use_pallas_prescreen() and not is_batched(
+        target_cmaj, cand8, bva, ml_cmaj
+    ):
         return _pooled_wins_redmean_pallas(target_cmaj, cand8, bva, ml_cmaj)
     return _pooled_wins_redmean_xla(target_cmaj, cand8, bva, ml_cmaj)
 
@@ -264,7 +275,12 @@ def _select_colors_pallas(key, table):
     )(key, table)
 
 
-@jax.jit
+def _select_colors_xla(key, table):
+    padded = jnp.concatenate([table, jnp.zeros((3, 1), table.dtype)], axis=1)
+    safe = jnp.minimum(key, padded.shape[1] - 1)
+    return jnp.moveaxis(padded.T[safe], -1, 0)
+
+
 def select_colors(key, table):
     """(3, H, W) color planes selected from a small table by per-pixel key.
 
@@ -272,8 +288,6 @@ def select_colors(key, table):
            caller pads a sentinel column of zeros) selects 0.0.
     table: (3, K') f32 channel-major color table, K' >= max(key)+1.
     """
-    if use_pallas_prescreen():
+    if use_pallas_prescreen() and not is_batched(key, table):
         return _select_colors_pallas(key, table)
-    padded = jnp.concatenate([table, jnp.zeros((3, 1), table.dtype)], axis=1)
-    safe = jnp.minimum(key, padded.shape[1] - 1)
-    return jnp.moveaxis(padded.T[safe], -1, 0)
+    return _select_colors_xla(key, table)

@@ -315,7 +315,11 @@ def fused_scale_feature_block(
     """
     b = frames_cmaj.shape[0]
     h, w = frames_cmaj.shape[-2:]
-    if _use_fused_block() or interpret:
+    from snesimage_tpu.ops.pallas_prescreen import is_batched
+
+    if (
+        _use_fused_block() and not is_batched(refp, frames_cmaj)
+    ) or interpret:
         ref_scales = []
         sizes = []
         ok = True

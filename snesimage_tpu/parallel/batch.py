@@ -16,8 +16,6 @@ accept decisions), which keeps the computation SPMD across the mesh.
 
 from __future__ import annotations
 
-import contextlib
-import os
 from functools import partial
 
 import jax
@@ -69,20 +67,13 @@ def shard_states(states: QuantState, mesh: Mesh) -> QuantState:
 # static. jit(vmap(...)) lets XLA partition over the sharded batch axis.
 
 
-@contextlib.contextmanager
-def _no_pallas_under_vmap():
-    """The Pallas kernels are written with explicit batch grids and hang
-    when vmapped (see ops/pallas_dither.py); batched stages trace their
-    XLA fallbacks instead. The flag is read at trace time only."""
-    old = os.environ.get("SNESIMAGE_NO_PALLAS")
-    os.environ["SNESIMAGE_NO_PALLAS"] = "1"
-    try:
-        yield
-    finally:
-        if old is None:
-            os.environ.pop("SNESIMAGE_NO_PALLAS", None)
-        else:
-            os.environ["SNESIMAGE_NO_PALLAS"] = old
+# Batched tracing note: vmap-of-pallas_call hangs Mosaic, so every kernel
+# entry point carries a custom batching rule — the dither wavefront folds
+# the image axis into its kernel grid (ops/pallas_dither.py), the
+# prescreen/select kernels fall back to their vmapped XLA twins
+# (ops/pallas_prescreen.py), and the fused metric to its XLA twin
+# (ops/pallas_metric.py). vmapping the pipeline stages below is therefore
+# safe with no environment toggles.
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -172,22 +163,21 @@ def batched_optimize(
 
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
-    with _no_pallas_under_vmap():
-        for step in range(max_steps):
-            if config.schedule == "channel":
-                is_random = False
-            else:
-                is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
-            if config.nes:
-                res = bsweep_nes(states, config, refp)
-            elif is_random:
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, b)
-                res = bsweep_random(states, config, refp, keys)
-            else:
-                res = bsweep_channel(states, config, refp)
-            states = res.state
-            step_errors.append(float(jnp.mean(res.error)))
+    for step in range(max_steps):
+        if config.schedule == "channel":
+            is_random = False
+        else:
+            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        if config.nes:
+            res = bsweep_nes(states, config, refp)
+        elif is_random:
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            res = bsweep_random(states, config, refp, keys)
+        else:
+            res = bsweep_channel(states, config, refp)
+        states = res.state
+        step_errors.append(float(jnp.mean(res.error)))
 
     return states, step_errors
 
@@ -203,7 +193,6 @@ def batched_run(
     states = make_batched_states(images, config)
     if mesh is not None:
         states = shard_states(states, mesh)
-    with _no_pallas_under_vmap():
-        states = binit(states, config)
-        states = bcluster(states, config)
+    states = binit(states, config)
+    states = bcluster(states, config)
     return batched_optimize(states, config, mesh=None, max_steps=max_steps)

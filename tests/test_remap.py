@@ -317,3 +317,49 @@ def test_pallas_dither_kernel_perceptual_matches_oracle(rng):
         want = oracle_remap(rgba, tp, pal_b, dither=True, perceptual=True)
         agree = (maps[b] == want).mean()
         assert agree > 0.95, f"candidate {b}: agreement {agree}"
+
+
+def test_pallas_dither_kernel_vmap_over_images(rng):
+    """jax.vmap over a leading image axis must fold into the kernel's
+    image grid dimension (custom batching rule) and reproduce per-image
+    single calls exactly."""
+    import jax
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import expand_5bit_to_8bit
+    from snesimage_tpu.ops.dither import _prep_skewed
+    from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+    h = w = 16
+    n = 2
+    imgs, pals, tps = [], [], []
+    for k in range(n):
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        rgba[..., 3] = 255
+        imgs.append(rgba)
+        pals.append(rng.integers(0, 32, (2, 4, 3)).astype(np.int32))
+        tps.append(rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32))
+    p, i = 0, 1
+    cands = rng.integers(0, 32, (3, 3)).astype(np.int32)
+    cand8 = expand_5bit_to_8bit(jnp.asarray(cands)).astype(jnp_.float32)
+
+    prepped = [
+        _prep_skewed(
+            jnp.asarray(im[..., :3]), jnp.asarray(im[..., 3]),
+            jnp.asarray(tp), jnp.asarray(pal), p,
+        )[:6]
+        for im, tp, pal in zip(imgs, tps, pals)
+    ]
+    stacked = [jnp_.stack([pr[j] for pr in prepped]) for j in range(6)]
+
+    batched = jax.vmap(
+        lambda o, e, t, a, al, x: dither_remap_candidates(
+            o, e, t, a, al, x, cand8, i, img_w=w, interpret=True
+        )
+    )(*stacked)
+    for k in range(n):
+        single = dither_remap_candidates(
+            *prepped[k], cand8, i, img_w=w, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched[k]), np.asarray(single)
+        )
