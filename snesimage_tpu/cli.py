@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--trials", type=int, default=64,
         help="Random candidates per slot visit (reference: 64)",
     )
+    p.add_argument(
+        "--portfolio", type=int, default=1, metavar="K",
+        help="Optimize K independent random-seed trajectories as one "
+        "on-device batch and keep the best (extension; the reference runs "
+        "a single OS-seeded trajectory). Only meaningful with random "
+        "steps in the schedule; ignores -v/--profile-dir/--resume",
+    )
     p.add_argument("--checkpoint", help="Write a resumable .npz checkpoint here")
     p.add_argument("--resume", help="Resume from a .npz checkpoint")
     p.add_argument("--preview", help="Write a [source|quantized|palette] PNG here")
@@ -203,6 +210,31 @@ def main(argv: list[str] | None = None) -> int:
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)
             check_size(img, config.width, config.height)
+            if args.portfolio > 1 and not args.skip_optimize:
+                from snesimage_tpu.parallel.batch import portfolio_run
+
+                state, seed_errs, errors = portfolio_run(
+                    img, config, args.portfolio
+                )
+                log.info(
+                    "portfolio: per-seed final errors %s -> kept %.4f",
+                    [round(float(e), 4) for e in seed_errs],
+                    float(seed_errs.min()),
+                )
+                log.info("Writing output to %s", args.target_filename)
+                write_json(args.target_filename, state, config)
+                if args.checkpoint:
+                    save_checkpoint(
+                        args.checkpoint, state, config,
+                        errors=errors, step=len(errors),
+                    )
+                    log.info("Checkpoint written to %s", args.checkpoint)
+                if args.preview:
+                    from snesimage_tpu.preview import save_preview
+
+                    save_preview(args.preview, state, config)
+                    log.info("Preview written to %s", args.preview)
+                return 0
             state = pipeline.new_state(img, config)
             state = pipeline.initialize(state, config)
             state = pipeline.cluster(state, config)

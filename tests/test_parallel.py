@@ -65,3 +65,22 @@ def test_sharding_actually_partitions(rng):
     shards = states.original.addressable_shards
     assert len(shards) == 8
     assert shards[0].data.shape[0] == 1  # 8 images over 8 devices
+
+
+def test_portfolio_keeps_best_seed(rng):
+    """portfolio_run optimizes K RNG trajectories of one image and returns
+    the one with the minimum final error."""
+    from snesimage_tpu.core.refine import error_of, make_reference_pyramid
+
+    img = _images(rng, b=1)[0]
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=3, width=64, height=64,
+        max_steps=1, dither=True,
+    )
+    best, seed_errs, steps = pb.portfolio_run(img, cfg, 3)
+    assert seed_errs.shape == (3,)
+    # trajectories actually diverged (random steps draw per-seed keys)
+    assert len(set(np.round(seed_errs, 4))) > 1
+    refp = make_reference_pyramid(best)
+    got = float(error_of(best, cfg, refp))
+    assert abs(got - float(seed_errs.min())) < 1e-3
