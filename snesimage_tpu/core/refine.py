@@ -54,7 +54,7 @@ from snesimage_tpu.ops.remap import (
     render_linear,
 )
 from snesimage_tpu.ops.pallas_prescreen import (
-    pooled_wins,
+    pooled_wins_ciede,
     pooled_wins_redmean,
     select_colors,
 )
@@ -254,12 +254,19 @@ def _undithered_machinery(
             # association differs from downsample2∘downsample2 by ~1 ulp,
             # irrelevant for ranking and cancelled by the in-batch baseline)
             ds4_l = lnc_cmaj.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
+            dcand = None
             if perceptual:
                 bvalm = jnp.where(cand_mask2, best_val, -_BIG)
-                dcand = jax.vmap(lambda c8, c_lab: _cand_dist(c8, c_lab))(
-                    cand8, cand_lab
-                ).astype(best_val.dtype)
-                pooled = pooled_wins(dcand, bvalm, adj, ml_cmaj)
+                pooled, dcand = pooled_wins_ciede(
+                    jnp.moveaxis(target_lab, -1, 0),
+                    cand_lab,
+                    bvalm,
+                    adj,
+                    ml_cmaj,
+                    lambda: jax.vmap(
+                        lambda c8, c_lab: _cand_dist(c8, c_lab)
+                    )(cand8, cand_lab).astype(best_val.dtype),
+                )
             else:
                 # Integer path: the tie rule folds into the threshold
                 # (wins = d < best_val + adj), the distance plane is
@@ -286,9 +293,24 @@ def _undithered_machinery(
             coarse = 100.0 - score_from_features(feats_c)
             _, top = jax.lax.top_k(-coarse[1:], k)
             sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
-            frames = jax.vmap(one_frame_cmaj)(
-                cand8[sel], cand_lin[sel], cand_lab[sel]
-            )
+            if dcand is not None:
+                # Finalist win masks from the distance planes the pooled
+                # kernel already computed — saves 9 more CIEDE2000 planes
+                # per visit. bvalm folds the cand_mask (masked pixels are
+                # -BIG, so the candidate can never win there).
+                def one_frame_from_d(d_row, c_lin):
+                    wins = (d_row < bvalm) | ((d_row == bvalm) & (adj != 0))
+                    return jnp.where(
+                        wins[None], c_lin[:, None, None], lnc_cmaj
+                    )
+
+                frames = jax.vmap(one_frame_from_d)(
+                    dcand[sel], cand_lin[sel]
+                )
+            else:
+                frames = jax.vmap(one_frame_cmaj)(
+                    cand8[sel], cand_lin[sel], cand_lab[sel]
+                )
             # Finalists: only the two finest scales run at full
             # resolution; scales 2..5 reuse the coarse features (the
             # pooled scale-2 frame IS the finalist frame's scale-2

@@ -53,51 +53,6 @@ def _pool_matrix(w: int) -> np.ndarray:
     return p
 
 
-def _kernel(dc_ref, bv_ref, adj_ref, ml_ref, pw_ref, out_ref):
-    h, w = bv_ref.shape
-    d = dc_ref[0]
-    bv = bv_ref[:]
-    wins = (d < bv) | ((d == bv) & (adj_ref[:] != 0))
-    m = wins.astype(jnp.float32)
-
-    def pool(x):  # (H, W) -> (H//4, W//4) block sums
-        hs = x.reshape(h // 4, 4, w).sum(axis=1)
-        return jnp.dot(
-            hs,
-            pw_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    out_ref[0, 0] = pool(m)
-    out_ref[0, 1] = pool(m * ml_ref[0])
-    out_ref[0, 2] = pool(m * ml_ref[1])
-    out_ref[0, 3] = pool(m * ml_ref[2])
-
-
-def _pooled_wins_pallas(dcand, bvalm, adj, ml_cmaj):
-    b, h, w = dcand.shape
-    pw = jnp.asarray(_pool_matrix(w))
-    return pl.pallas_call(
-        _kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (w, w // 4), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 4, h // 4, w // 4), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 4, h // 4, w // 4), jnp.float32),
-    )(dcand, bvalm, adj, ml_cmaj, pw)
-
-
 def _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj):
     """Reference/fallback implementation (CPU tests, non-TPU backends).
     Bit-matches the kernel up to f32 summation order."""
@@ -123,24 +78,6 @@ def is_batched(*xs) -> bool:
     from jax._src.interpreters.batching import BatchTracer
 
     return any(isinstance(leaf, BatchTracer) for leaf in jax.tree.leaves(xs))
-
-
-def pooled_wins(dcand, bvalm, adj, ml_cmaj):
-    """Per-candidate pooled win sums (generic-distance variant).
-
-    dcand:  (B, H, W) distance of each pixel to its candidate color
-            (int32 red-mean or f32 CIEDE2000; must match bvalm's dtype).
-    bvalm:  (H, W) best distance among the OTHER subpalette entries,
-            pre-masked to -BIG outside (affected & opaque) pixels.
-    adj:    (H, W) int32 tie rule: 1 where slot index i < best_idx.
-    ml_cmaj:(3, H, W) f32 cand_mask * lin_no_cand, channel-major.
-
-    Returns (B, 4, H//4, W//4) f32 block SUMS (not means):
-    [pool4(m), pool4(m * ML_r), pool4(m * ML_g), pool4(m * ML_b)].
-    """
-    if use_pallas_prescreen() and not is_batched(dcand, bvalm, adj, ml_cmaj):
-        return _pooled_wins_pallas(dcand, bvalm, adj, ml_cmaj)
-    return _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj)
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +177,104 @@ def pooled_wins_redmean(target_cmaj, cand8, bva, ml_cmaj):
     ):
         return _pooled_wins_redmean_pallas(target_cmaj, cand8, bva, ml_cmaj)
     return _pooled_wins_redmean_xla(target_cmaj, cand8, bva, ml_cmaj)
+
+
+# ---------------------------------------------------------------------------
+# CIEDE2000 variant: the candidate distance plane is computed IN KERNEL
+# from the precomputed target CIELAB planes and the candidate's Lab triple
+# (SMEM scalars) — the XLA path materialized ~15 (B, H, W) f32 temporaries
+# (~130 MB of HBM traffic per 33-candidate visit) plus the (B, H, W)
+# distance tensor itself. The formula is ops/pallas_dither.py
+# _ciede2000_planes (manual atan2; ~2e-7 vs the XLA ciede2000, so exact
+# near-ties against the XLA-computed best-other-entry threshold can flip
+# — within the perceptual path's documented 5e-3 oracle tolerance).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ciede(
+    tlab_ref, clab_ref, bv_ref, adj_ref, ml_ref, pw_ref, out_ref, d_ref
+):
+    from snesimage_tpu.ops.pallas_dither import _ciede2000_planes
+
+    h, w = bv_ref.shape
+    b = pl.program_id(0)
+    d = _ciede2000_planes(
+        tlab_ref[0], tlab_ref[1], tlab_ref[2],
+        clab_ref[b, 0], clab_ref[b, 1], clab_ref[b, 2],
+    )
+    d_ref[0] = d
+    wins = (d < bv_ref[:]) | ((d == bv_ref[:]) & (adj_ref[:] != 0))
+    m = wins.astype(jnp.float32)
+
+    def pool(x):
+        hs = x.reshape(h // 4, 4, w).sum(axis=1)
+        return jnp.dot(
+            hs,
+            pw_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_ref[0, 0] = pool(m)
+    out_ref[0, 1] = pool(m * ml_ref[0])
+    out_ref[0, 2] = pool(m * ml_ref[1])
+    out_ref[0, 3] = pool(m * ml_ref[2])
+
+
+def _pooled_wins_ciede_pallas(target_lab_cmaj, cand_lab, bvalm, adj, ml_cmaj):
+    b = cand_lab.shape[0]
+    _, h, w = target_lab_cmaj.shape
+    pw = jnp.asarray(_pool_matrix(w))
+    return pl.pallas_call(
+        _kernel_ciede,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w // 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, h // 4, w // 4), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 4, h // 4, w // 4), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+    )(target_lab_cmaj, cand_lab, bvalm, adj, ml_cmaj, pw)
+
+
+def pooled_wins_ciede(target_lab_cmaj, cand_lab, bvalm, adj, ml_cmaj, dcand_fn):
+    """Per-candidate pooled win sums with in-kernel CIEDE2000.
+
+    target_lab_cmaj: (3, H, W) f32 target CIELAB planes.
+    cand_lab:        (B, 3) f32 candidate CIELAB triples.
+    bvalm/adj/ml_cmaj: as the red-mean variant.
+    dcand_fn: () -> (B, H, W) XLA distance tensor — evaluated only on the
+        fallback path (off-TPU or image-batched callers).
+
+    Returns (pooled (B, 4, H//4, W//4), dcand (B, H, W)): the kernel also
+    emits the distance planes it computed, so finalists' win masks and
+    the accepted color's distance-cache column can reuse them instead of
+    re-running CIEDE2000 (~16 us/plane at transcendental roofline).
+    CIEDE2000 here is the manual-atan2 formula (~2e-7 vs the XLA path).
+    """
+    if use_pallas_prescreen() and not is_batched(
+        target_lab_cmaj, cand_lab, bvalm, adj, ml_cmaj
+    ):
+        return _pooled_wins_ciede_pallas(
+            target_lab_cmaj, cand_lab, bvalm, adj, ml_cmaj
+        )
+    dcand = dcand_fn()
+    return _pooled_wins_xla(dcand, bvalm, adj, ml_cmaj), dcand
 
 
 # ---------------------------------------------------------------------------
