@@ -145,6 +145,165 @@ int closest_color_index(const int* entries8, int sub_size,
   return best_index;
 }
 
+// CIELAB (D65) -> 8-bit sRGB, matching ops/color.py lab_to_srgb_u8 /
+// the palette crate's clamp-then-round conversion (src/lib.rs:368-371).
+void lab_to_srgb_u8(const double lab[3], int rgb[3]) {
+  double fy = (lab[0] + 16.0) / 116.0;
+  double f[3] = {fy + lab[1] / 500.0, fy, fy - lab[2] / 200.0};
+  const double d = 6.0 / 29.0;
+  const double wp[3] = {0.95047, 1.0, 1.08883};
+  double xyz[3];
+  for (int i = 0; i < 3; ++i) {
+    double v = (f[i] > d) ? f[i] * f[i] * f[i] : 3 * d * d * (f[i] - 4.0 / 29.0);
+    xyz[i] = v * wp[i];
+  }
+  const double m[3][3] = {{3.2404542, -1.5371385, -0.4985314},
+                          {-0.9692660, 1.8760108, 0.0415560},
+                          {0.0556434, -0.2040259, 1.0572252}};
+  for (int i = 0; i < 3; ++i) {
+    double lin = m[i][0] * xyz[0] + m[i][1] * xyz[1] + m[i][2] * xyz[2];
+    if (lin < 0.0) lin = 0.0;
+    double s = (lin <= 0.0031308) ? lin * 12.92
+                                  : 1.055 * std::pow(lin, 1.0 / 2.4) - 0.055;
+    if (s < 0.0) s = 0.0;
+    if (s > 1.0) s = 1.0;
+    rgb[i] = static_cast<int>(std::lround(s * 255.0));
+  }
+}
+
+// NES master palette, 5-bit (src/lib.rs:684-745).
+const int kNes[56][3] = {
+    {13, 13, 13}, {0, 2, 16},  {3, 0, 17},   {7, 0, 15},   {10, 0, 10},
+    {11, 0, 3},   {9, 2, 0},   {7, 3, 0},    {4, 6, 0},    {0, 7, 0},
+    {0, 8, 0},    {0, 7, 4},   {0, 5, 10},   {0, 0, 0},    {23, 23, 23},
+    {3, 10, 24},  {9, 6, 28},  {14, 4, 26},  {18, 3, 21},  {19, 5, 11},
+    {19, 6, 0},   {15, 9, 0},  {11, 12, 0},  {4, 14, 0},   {0, 15, 0},
+    {0, 14, 8},   {0, 13, 17}, {0, 0, 0},    {31, 31, 31}, {13, 20, 31},
+    {17, 19, 31}, {22, 16, 31}, {27, 14, 31}, {28, 14, 23}, {28, 17, 13},
+    {26, 19, 5},  {22, 21, 1}, {15, 24, 2},  {10, 25, 8},  {8, 25, 16},
+    {8, 24, 24},  {9, 9, 9},   {31, 31, 31}, {25, 29, 31}, {27, 27, 31},
+    {29, 27, 31}, {31, 26, 31}, {31, 26, 30}, {31, 27, 25}, {31, 28, 22},
+    {30, 30, 21}, {27, 31, 21}, {25, 31, 23}, {24, 31, 26}, {24, 30, 30},
+    {23, 24, 23}};
+
+// Cluster mean -> 5-bit SNES color (src/lib.rs:140-171, 368-401; JAX twin
+// core/init.py _quantize_center): perceptual converts Lab->sRGB then
+// truncates /8, RGB rounds mean/8 half-away; NES snaps by first-min scan.
+void quantize_center(const double c[3], int perceptual, int nes,
+                     int32_t out5[3]) {
+  int rgb5[3];
+  if (perceptual) {
+    int rgb8[3];
+    lab_to_srgb_u8(c, rgb8);
+    for (int i = 0; i < 3; ++i) rgb5[i] = rgb8[i] / 8;
+  } else {
+    for (int i = 0; i < 3; ++i) {
+      double v = c[i] / 8.0;
+      int q = static_cast<int>(std::floor(v + 0.5));
+      if (q < 0) q = 0;
+      if (q > 31) q = 31;
+      rgb5[i] = q;
+    }
+  }
+  if (nes) {
+    int rgb8[3] = {expand5(rgb5[0]), expand5(rgb5[1]), expand5(rgb5[2])};
+    double tlab[3];
+    if (perceptual) srgb_to_lab(rgb8, tlab);
+    int best = 0;
+    double bd = 1e300;
+    for (int j = 0; j < 56; ++j) {
+      int n8[3] = {expand5(kNes[j][0]), expand5(kNes[j][1]),
+                   expand5(kNes[j][2])};
+      double err;
+      if (perceptual) {
+        double nlab[3];
+        srgb_to_lab(n8, nlab);
+        err = ciede2000(tlab, nlab);
+      } else {
+        err = red_mean_distance(rgb8, n8);
+      }
+      if (err < bd) {
+        bd = err;
+        best = j;
+      }
+    }
+    for (int i = 0; i < 3; ++i) out5[i] = kNes[best][i];
+  } else {
+    for (int i = 0; i < 3; ++i) out5[i] = rgb5[i];
+  }
+}
+
+// Lloyd's k-means with deterministic first-k-valid init (JAX twin
+// ops/kmeans.py lloyd_kmeans: 100-iteration cap, tol 1e-6 on max squared
+// center movement, empty clusters keep their center, surplus centers 0).
+void lloyd_kmeans(const double* data, const uint8_t* mask, int n, int k,
+                  const int32_t* order, double* centers_out,
+                  int32_t* assign_out) {
+  std::vector<double> c(static_cast<size_t>(k) * 3, 0.0);
+  int got = 0;
+  for (int oi = 0; oi < n && got < k; ++oi) {
+    int idx = order ? order[oi] : oi;
+    if (mask[idx]) {
+      for (int d = 0; d < 3; ++d) c[got * 3 + d] = data[idx * 3 + d];
+      ++got;
+    }
+  }
+  auto assign1 = [&](const double* pt) {
+    int best = 0;
+    double bd = 1e300;
+    for (int j = 0; j < k; ++j) {
+      double s = 0;
+      for (int d = 0; d < 3; ++d) {
+        double df = pt[d] - c[j * 3 + d];
+        s += df * df;
+      }
+      if (s < bd) {
+        bd = s;
+        best = j;
+      }
+    }
+    return best;
+  };
+  for (int it = 0; it < 100; ++it) {
+    std::vector<double> sums(static_cast<size_t>(k) * 3, 0.0);
+    std::vector<double> cnt(k, 0.0);
+    for (int i = 0; i < n; ++i) {
+      if (!mask[i]) continue;
+      int a = assign1(data + static_cast<size_t>(i) * 3);
+      for (int d = 0; d < 3; ++d) sums[a * 3 + d] += data[i * 3 + d];
+      cnt[a] += 1.0;
+    }
+    double shift = 0.0;
+    for (int j = 0; j < k; ++j) {
+      if (cnt[j] <= 0.0) continue;
+      double s = 0.0;
+      for (int d = 0; d < 3; ++d) {
+        double nc = sums[j * 3 + d] / cnt[j];
+        double df = nc - c[j * 3 + d];
+        s += df * df;
+        c[j * 3 + d] = nc;
+      }
+      if (s > shift) shift = s;
+    }
+    if (shift <= 1e-6) break;
+  }
+  for (int i = 0; i < n; ++i)
+    assign_out[i] = mask[i] ? assign1(data + static_cast<size_t>(i) * 3) : 0;
+  for (int j = 0; j < k * 3; ++j) centers_out[j] = c[j];
+}
+
+// Pixel coordinates for clustering: RGB or CIELAB (src/lib.rs:100-111).
+void pixel_coord(const uint8_t* px, int perceptual, double out[3]) {
+  if (perceptual) {
+    int c[3] = {px[0], px[1], px[2]};
+    srgb_to_lab(c, out);
+  } else {
+    out[0] = px[0];
+    out[1] = px[1];
+    out[2] = px[2];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -215,6 +374,98 @@ void oracle_remap(int w, int h, const uint8_t* rgba,
           if (x + 1 < w) error[(pi + w + 1) * 3 + i] += v * weights[3];
         }
       }
+    }
+  }
+}
+
+// Tile->subpalette assignment + flat palette fill (src/lib.rs:79-189
+// minus the final remap; JAX twin core/init.py assign_tiles): per-tile
+// mean coords over opaque pixels, tiles with zero coord-sum excluded,
+// k-means of tile means with first-k-valid init in tile_x-major push
+// order (src/lib.rs:89-90), every entry of each subpalette filled with
+// the quantized cluster mean.
+void oracle_assign_tiles(int w, int h, const uint8_t* rgba, int sub_count,
+                         int sub_size, int perceptual, int nes,
+                         int32_t* out_tp, int32_t* out_pal) {
+  int wt = w / 8, ht = h / 8, T = wt * ht;
+  std::vector<double> means(static_cast<size_t>(T) * 3, 0.0);
+  std::vector<uint8_t> valid(T, 0);
+  for (int t = 0; t < T; ++t) {
+    int ty = t / wt, tx = t % wt;
+    double sum[3] = {0, 0, 0};
+    double cnt = 0;
+    for (int x = 0; x < 8; ++x) {
+      for (int y = 0; y < 8; ++y) {
+        const uint8_t* px =
+            rgba + ((static_cast<size_t>(ty * 8 + y)) * w + tx * 8 + x) * 4;
+        if (px[3] == 0) continue;
+        double coord[3];
+        pixel_coord(px, perceptual, coord);
+        for (int d = 0; d < 3; ++d) sum[d] += coord[d];
+        cnt += 1.0;
+      }
+    }
+    valid[t] = (sum[0] + sum[1] + sum[2]) > 0.0 ? 1 : 0;
+    for (int d = 0; d < 3; ++d)
+      means[t * 3 + d] = sum[d] / (cnt > 0 ? cnt : 1.0);
+  }
+  std::vector<int32_t> order(T);
+  int oi = 0;
+  for (int tx = 0; tx < wt; ++tx)
+    for (int ty = 0; ty < ht; ++ty) order[oi++] = ty * wt + tx;
+  std::vector<double> centers(static_cast<size_t>(sub_count) * 3);
+  std::vector<int32_t> assign(T);
+  lloyd_kmeans(means.data(), valid.data(), T, sub_count, order.data(),
+               centers.data(), assign.data());
+  for (int t = 0; t < T; ++t) out_tp[t] = valid[t] ? assign[t] : 0;
+  for (int p = 0; p < sub_count; ++p) {
+    int32_t c5[3];
+    quantize_center(centers.data() + static_cast<size_t>(p) * 3, perceptual,
+                    nes, c5);
+    for (int s = 0; s < sub_size; ++s)
+      for (int d = 0; d < 3; ++d) out_pal[(p * sub_size + s) * 3 + d] = c5[d];
+  }
+}
+
+// Per-subpalette pixel k-means into sub_size colors (src/lib.rs:330-415
+// minus the remap; JAX twin core/init.py recalculate_palettes). Pixel
+// order: tiles row-major, within each tile x outer / y inner
+// (src/lib.rs:338-339).
+void oracle_recalculate(int w, int h, const uint8_t* rgba,
+                        const int32_t* tile_palettes, int sub_count,
+                        int sub_size, int perceptual, int nes,
+                        int32_t* out_pal) {
+  int wt = w / 8, ht = h / 8, T = wt * ht;
+  size_t n = static_cast<size_t>(T) * 64;
+  std::vector<double> coords(n * 3);
+  std::vector<int32_t> tile_of(n);
+  std::vector<uint8_t> opaque(n);
+  size_t i = 0;
+  for (int t = 0; t < T; ++t) {
+    int ty = t / wt, tx = t % wt;
+    for (int x = 0; x < 8; ++x) {
+      for (int y = 0; y < 8; ++y, ++i) {
+        const uint8_t* px =
+            rgba + ((static_cast<size_t>(ty * 8 + y)) * w + tx * 8 + x) * 4;
+        pixel_coord(px, perceptual, coords.data() + i * 3);
+        tile_of[i] = t;
+        opaque[i] = px[3] > 0 ? 1 : 0;
+      }
+    }
+  }
+  std::vector<uint8_t> mask(n);
+  std::vector<double> centers(static_cast<size_t>(sub_size) * 3);
+  std::vector<int32_t> assign(n);
+  for (int p = 0; p < sub_count; ++p) {
+    for (size_t j = 0; j < n; ++j)
+      mask[j] = (opaque[j] && tile_palettes[tile_of[j]] == p) ? 1 : 0;
+    lloyd_kmeans(coords.data(), mask.data(), static_cast<int>(n), sub_size,
+                 nullptr, centers.data(), assign.data());
+    for (int s = 0; s < sub_size; ++s) {
+      int32_t c5[3];
+      quantize_center(centers.data() + static_cast<size_t>(s) * 3, perceptual,
+                      nes, c5);
+      for (int d = 0; d < 3; ++d) out_pal[(p * sub_size + s) * 3 + d] = c5[d];
     }
   }
 }

@@ -62,6 +62,30 @@ def oracle():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.oracle_assign_tiles.restype = None
+        lib.oracle_assign_tiles.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.oracle_recalculate.restype = None
+        lib.oracle_recalculate.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
     return _lib
 
@@ -90,6 +114,43 @@ def oracle_remap(rgba, tile_palettes, palette5, dither: bool, perceptual: bool):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def oracle_assign_tiles(rgba, sub_count, sub_size, perceptual, nes):
+    """Tile-assignment + flat-fill init oracle: returns (tile_palettes
+    (ht, wt), palette5 (C, S, 3))."""
+    import numpy as np
+
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w, _ = rgba.shape
+    tp = np.zeros((h // 8) * (w // 8), dtype=np.int32)
+    pal = np.zeros(sub_count * sub_size * 3, dtype=np.int32)
+    oracle().oracle_assign_tiles(
+        w, h,
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sub_count, sub_size, int(perceptual), int(nes),
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return tp.reshape(h // 8, w // 8), pal.reshape(sub_count, sub_size, 3)
+
+
+def oracle_recalculate(rgba, tile_palettes, sub_count, sub_size, perceptual, nes):
+    """Per-subpalette pixel k-means oracle: returns palette5 (C, S, 3)."""
+    import numpy as np
+
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    tp = np.ascontiguousarray(tile_palettes, dtype=np.int32)
+    h, w, _ = rgba.shape
+    pal = np.zeros(sub_count * sub_size * 3, dtype=np.int32)
+    oracle().oracle_recalculate(
+        w, h,
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sub_count, sub_size, int(perceptual), int(nes),
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return pal.reshape(sub_count, sub_size, 3)
 
 
 def oracle_red_mean(c1, c2) -> float:

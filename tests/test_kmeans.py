@@ -1,6 +1,7 @@
 """Tests for the deterministic Lloyd's k-means (ops/kmeans.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from snesimage_tpu.ops.kmeans import lloyd_kmeans
@@ -101,3 +102,57 @@ def test_fewer_valid_than_k_zeroes_surplus():
     assert (c[0] == 50.0).all()
     # surplus centers stay at black unless points migrate to them
     assert (c[2:] == 0.0).all() or (c[2:] == 50.0).all()
+
+
+def _clustered_image(rng, h=64, w=64):
+    """Well-separated color quadrants (+noise, one transparent tile) so
+    f32 (JAX) and f64 (oracle) k-means converge to identical clusters."""
+    img = np.zeros((h, w, 4), np.uint8)
+    bases = np.array([[220, 40, 40], [40, 220, 40], [40, 40, 220], [220, 220, 40]])
+    for q, (y0, x0) in enumerate([(0, 0), (0, w // 2), (h // 2, 0), (h // 2, w // 2)]):
+        blk = bases[q] + rng.integers(-12, 13, (h // 2, w // 2, 3))
+        img[y0:y0 + h // 2, x0:x0 + w // 2, :3] = blk.clip(0, 255)
+    img[..., 3] = 255
+    img[0:8, 0:8, 3] = 0  # transparent tile -> excluded, subpalette 0
+    return img
+
+
+@pytest.mark.parametrize("perceptual,nes", [(False, False), (True, False), (False, True)])
+def test_init_pipeline_matches_cpp_oracle(rng, perceptual, nes):
+    """The whole deterministic init path — tile k-means assignment, flat
+    fill, per-subpalette pixel k-means, undithered remap — must agree
+    with the independent scalar C++ oracle (native/oracle.cpp) on a
+    well-separated fixture."""
+    from snesimage_tpu.config import QuantConfig
+    from snesimage_tpu.core import pipeline
+    from snesimage_tpu.core.state import new_state
+    from snesimage_tpu.native import (
+        oracle_assign_tiles,
+        oracle_recalculate,
+        oracle_remap,
+    )
+
+    img = _clustered_image(rng)
+    cfg = QuantConfig(
+        subpalette_count=4, subpalette_size=3, width=64, height=64,
+        perceptual_palettes=perceptual, nes=nes,
+    )
+    st = new_state(img, cfg)
+    st = pipeline.initialize(st, cfg)
+
+    tp_o, pal_o = oracle_assign_tiles(img, 4, 3, perceptual, nes)
+    np.testing.assert_array_equal(np.asarray(st.tile_palettes), tp_o)
+    np.testing.assert_array_equal(np.asarray(st.palette), pal_o)
+
+    st = pipeline.cluster(st, cfg)
+    pal2_o = oracle_recalculate(img, tp_o, 4, 3, perceptual, nes)
+    if perceptual:
+        # f32-vs-f64 Lab coordinates can flip near-tie cluster members;
+        # quantized 5-bit centers must still land within 1 code.
+        assert np.abs(np.asarray(st.palette) - pal2_o).max() <= 1
+    else:
+        np.testing.assert_array_equal(np.asarray(st.palette), pal2_o)
+
+    want_map = oracle_remap(img, tp_o, pal2_o, dither=False, perceptual=perceptual)
+    if not perceptual:
+        np.testing.assert_array_equal(np.asarray(st.palette_map), want_map)
