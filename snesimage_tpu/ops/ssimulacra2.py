@@ -145,23 +145,6 @@ def _norms(d: jax.Array) -> tuple[jax.Array, jax.Array]:
     return one, four
 
 
-def _use_pallas(h: int, w: int) -> bool:
-    """Fused Pallas kernel gate (opt-in via SNESIMAGE_PALLAS=1).
-
-    The kernel (ops/pallas_metric.py) is validated to f32 rounding against
-    this XLA path, but measured end-to-end on v5e the XLA einsum path is
-    currently ~15% faster: XLA overlaps the MXU blur matmuls with the VPU
-    elementwise work across candidates, which the per-(candidate, channel)
-    serial kernel gives up. Kept as groundwork; flip the default if a
-    future revision (e.g. multi-map blurs per program, DMA double
-    buffering) wins."""
-    import os
-
-    if os.environ.get("SNESIMAGE_PALLAS") != "1":
-        return False
-    return jax.default_backend() == "tpu" and w >= 128 and h >= 8
-
-
 def _scale_features(
     img1: jax.Array,
     mu1: jax.Array,
@@ -170,26 +153,6 @@ def _scale_features(
 ) -> jax.Array:
     """Per-scale feature vector, shape (..., C, 6):
     [ssim1, art1, det1, ssim4, art4, det4] per channel."""
-    h, w = img2.shape[-3], img2.shape[-2]
-    # Fused-kernel path: one explicit candidate-batch axis over shared
-    # reference maps (the hot shape of the refine loop). vmap-of-pallas
-    # broadcasts shared operands pathologically, so only the explicit
-    # (B, H, W, C)-vs-(H, W, C) form takes the kernel; anything else
-    # (single frames, extra batch dims, vmap tracing) uses the XLA path.
-    if img1.ndim == 3 and img2.ndim == 4 and _use_pallas(h, w):
-        from snesimage_tpu.ops.pallas_metric import scale_feature_sums_batched
-
-        cmaj = lambda a: jnp.moveaxis(a, -1, -3)  # noqa: E731
-        sums = scale_feature_sums_batched(
-            cmaj(img1), cmaj(mu1), cmaj(s11), cmaj(img2)
-        )  # (B, C, 6) raw sums
-        n = float(h * w)
-        one = sums[..., 0:3] / n
-        m4 = sums[..., 3:6] / n
-        four = jnp.where(m4 > 0, jnp.where(m4 > 0, m4, 1.0) ** 0.25, 0.0)
-        # [ssim1, art1, det1, ssim4, art4, det4]
-        return jnp.concatenate([one, four], axis=-1)
-
     mu2 = blur(img2)
     s22 = blur(img2 * img2)
     s12 = blur(img1 * img2)

@@ -136,43 +136,6 @@ def test_gradients_flow(rng):
     assert float(jnp.abs(g).max()) > 0
 
 
-def test_pallas_kernel_matches_xla(rng):
-    """The fused Pallas per-scale kernel (interpret mode on CPU) must match
-    the XLA feature path to f32 rounding."""
-    from snesimage_tpu.ops.pallas_metric import (
-        scale_feature_sums,
-        scale_feature_sums_batched,
-    )
-    from snesimage_tpu.ops.ssimulacra2 import _scale_features, blur as _blur
-
-    h = w = 128
-    img1 = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
-    img2 = jnp.asarray(rng.random((2, h, w, 3)).astype(np.float32))
-    mu1 = _blur(img1)
-    s11 = _blur(img1 * img1)
-
-    want = np.asarray(_scale_features(img1, mu1, s11, img2))  # (2, 3, 6)
-
-    cm = lambda a: jnp.moveaxis(a, -1, -3)  # noqa: E731
-    sums = np.asarray(
-        scale_feature_sums_batched(
-            cm(img1), cm(mu1), cm(s11), cm(img2), interpret=True
-        )
-    )
-    n = h * w
-    one = sums[..., 0:3] / n
-    m4 = sums[..., 3:6] / n
-    four = np.where(m4 > 0, m4, 1.0) ** 0.25 * (m4 > 0)
-    got = np.concatenate([one, four], axis=-1)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-
-    # unbatched variant agrees with the batched one
-    single = np.asarray(
-        scale_feature_sums(cm(img1), cm(mu1), cm(s11), cm(img2[0]), interpret=True)
-    )
-    np.testing.assert_allclose(single, sums[0], rtol=1e-6)
-
-
 def test_golden_score_values():
     """Pin concrete scores of the current weight table (consts provenance:
     ops/ssimulacra2_consts.py). Guards against silent weight/layout
