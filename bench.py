@@ -55,6 +55,7 @@ def main() -> None:
     config = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=10,
         converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
+        prescreen_full=2,
     )
     img = _test_image()
 

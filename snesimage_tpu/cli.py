@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
         "while skipping ~3/4 of the metric work on non-finalists)",
     )
     p.add_argument(
+        "--prescreen-full", type=int, default=0, metavar="M",
+        help="With --prescreen: rank finalists by their exact scale-1..5 "
+        "score and run the full metric's finest scale only on the top M "
+        "(0 = full-score every finalist; measured zero-regret)",
+    )
+    p.add_argument(
         "--schedule", choices=["reference", "channel"], default="reference",
         help="Step schedule: the reference's 4-random/1-channel cycle, or "
         "pure channel sweeps (coordinate descent; converges faster and to "
@@ -206,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
                 random_trials=args.trials,
                 schedule=args.schedule,
                 prescreen=args.prescreen,
+                prescreen_full=args.prescreen_full,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

@@ -48,6 +48,16 @@ class QuantConfig:
     # (BENCHMARKS.md); random/channel acceptance stays strict-less-than
     # against the fully-scored current color.
     prescreen: int = 0
+    # Second prescreen level (only with prescreen > 0): rank the K
+    # finalists by their EXACT scale-1..5 score (the fused metric kernel
+    # downsamples the full-resolution finalist frames in-kernel; scale 0
+    # is ~4/5 of a finalist's metric cost) and run scale 0 only for the
+    # top `prescreen_full` of them plus the in-batch baseline. 0 = score
+    # every finalist fully. Same zero-regret structure as `prescreen`:
+    # acceptance still compares fully-scored candidates against the
+    # fully-scored current color, and a misrank only costs a missed
+    # improvement on the strict-less-than paths (NES opts out).
+    prescreen_full: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
     # (coordinate descent) — measured to converge faster AND to a lower
@@ -64,6 +74,8 @@ class QuantConfig:
             raise ValueError("subpalette_size must be in [1, 15]")
         if self.schedule not in ("reference", "channel"):
             raise ValueError("schedule must be 'reference' or 'channel'")
+        if self.prescreen_full < 0:
+            raise ValueError("prescreen_full must be >= 0")
 
     @property
     def width_tiles(self) -> int:

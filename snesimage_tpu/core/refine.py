@@ -304,13 +304,35 @@ def _undithered_machinery(
                         wins[None], c_lin[:, None, None], lnc_cmaj
                     )
 
-                frames = jax.vmap(one_frame_from_d)(
-                    dcand[sel], cand_lin[sel]
+                build = lambda ix: jax.vmap(one_frame_from_d)(  # noqa: E731
+                    dcand[ix], cand_lin[ix]
                 )
             else:
-                frames = jax.vmap(one_frame_cmaj)(
-                    cand8[sel], cand_lin[sel], cand_lab[sel]
+                build = lambda ix: jax.vmap(one_frame_cmaj)(  # noqa: E731
+                    cand8[ix], cand_lin[ix], cand_lab[ix]
                 )
+            frames = build(sel)
+            m = config.prescreen_full
+            if m and m + 1 < k + 1:
+                # Second level: rank the finalists by their EXACT
+                # scale-1..5 score — the metric kernel downsamples the
+                # full-resolution frames in-kernel (pre_ds=1), so no
+                # half-resolution copies exist — then run scale 0 (~4/5
+                # of a finalist's metric cost) only for the top-m plus
+                # the baseline, on freshly built frames (rebuilding two
+                # frames is cheaper than gathering from `frames`).
+                feats_1 = fused_scale_feature_block(
+                    refp, frames, 1, 1, pre_ds=1
+                )
+                rank1 = 100.0 - score_from_features(feats_1 + feats_c[sel])
+                _, top2 = jax.lax.top_k(-rank1[1:], m)
+                sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
+                selF = sel[sel2]
+                feats_0 = fused_scale_feature_block(refp, build(selF), 0, 1)
+                full = 100.0 - score_from_features(
+                    feats_0 + feats_1[sel2] + feats_c[selF]
+                )
+                return jnp.full((b,), jnp.inf, jnp.float32).at[selF].set(full)
             # Finalists: only the two finest scales run at full
             # resolution; scales 2..5 reuse the coarse features (the
             # pooled scale-2 frame IS the finalist frame's scale-2

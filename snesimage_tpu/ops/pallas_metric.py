@@ -142,16 +142,22 @@ def multiscale_feature_sums(
     ref_scales: tuple,
     frames: jax.Array,
     *,
+    pre_ds: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Raw feature sums of several consecutive pyramid scales, fused.
 
     ref_scales: tuple over scales of (img1, mu1, s11) triples, each
         channel-major (3, h_s, w_s) f32 in positive-XYB space, where
-        (h_0, w_0) == frames' spatial dims and every following scale is
-        exactly the 2x2-mean downsample size (even sizes only).
+        (h_0, w_0) == frames' dims after `pre_ds` 2x2-mean downsamplings
+        and every following scale is exactly the next downsample size
+        (even sizes only).
     frames: (B, 3, H, W) f32 candidate frames in LINEAR RGB (the XYB
         conversion runs in-kernel per scale, like the XLA path).
+    pre_ds: number of in-kernel 2x2 downsamplings applied to the frame
+        BEFORE the block's first scale — lets the rank stage score
+        full-resolution frames at scale 1 without an XLA-side
+        materialized half-resolution copy.
 
     Does NOT compose with jax.vmap — image-batched callers never reach
     this function (ops/ssimulacra2.py fused_scale_feature_block detects
@@ -166,7 +172,8 @@ def multiscale_feature_sums(
     b, _, h, w = frames.shape
     rows = n * 3
     r_pad = -(-rows // 8) * 8
-    pools = [
+    pre_widths = [w >> d for d in range(pre_ds)]
+    pools = [jnp.asarray(_pool2_matrix(pw)) for pw in pre_widths] + [
         jnp.asarray(_pool2_matrix(ref_scales[si][0].shape[-1]))
         for si in range(n - 1)
     ]
@@ -186,16 +193,20 @@ def multiscale_feature_sums(
     def kernel(*args):
         fr_ref = args[0]
         refs = args[1 : 1 + 3 * n]
-        pool_refs = args[1 + 3 * n : 1 + 3 * n + (n - 1)]
-        blur_refs = args[1 + 3 * n + (n - 1) : -1]
+        n_pools = pre_ds + n - 1
+        pool_refs = args[1 + 3 * n : 1 + 3 * n + n_pools]
+        blur_refs = args[1 + 3 * n + n_pools : -1]
         out_ref = args[-1]
         r, g, bb = fr_ref[0, 0], fr_ref[0, 1], fr_ref[0, 2]
+        for d in range(pre_ds):
+            pw = pool_refs[d][:]
+            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
         row = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 1)
         tile = jnp.zeros((r_pad, 128), dtype=jnp.float32)
         for si in range(n):
             if si:
-                pw = pool_refs[si - 1][:]
+                pw = pool_refs[pre_ds + si - 1][:]
                 r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
             hs, ws = ref_scales[si][0].shape[-2:]
             brow = blur_refs[blur_sizes.index(hs)][:]
@@ -241,12 +252,10 @@ def multiscale_feature_sums(
             (3, hs, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
         in_specs += [spec, spec, spec]
-    for si in range(n - 1):
-        ws = ref_scales[si][0].shape[-1]
+    for pool in pools:
+        pshape = pool.shape
         in_specs.append(
-            pl.BlockSpec(
-                (ws, ws // 2), lambda i: (0, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec(pshape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
     for sz in blur_sizes:
         in_specs.append(

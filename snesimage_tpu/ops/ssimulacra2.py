@@ -264,13 +264,15 @@ def fused_scale_feature_block(
     start_scale: int,
     num_scales: int,
     *,
+    pre_ds: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Feature tensor of `num_scales` consecutive scales from channel-major
     linear-RGB frames, via ONE fused Pallas program per frame on TPU.
 
-    frames_cmaj: (B, 3, h, w) linear RGB at scale `start_scale`'s
-    resolution. Returns (B, NUM_SCALES, 3, 6) with zeros outside
+    frames_cmaj: (B, 3, h, w) linear RGB at scale `start_scale - pre_ds`'s
+    resolution (pre_ds in-kernel 2x2 downsamplings run first, exactly like
+    the pyramid's). Returns (B, NUM_SCALES, 3, 6) with zeros outside
     [start_scale, start_scale + num_scales). Off-TPU (or when the pyramid
     used edge-replicated odd-size downsamples the kernel cannot reproduce)
     falls back to the XLA path — identical semantics, so CPU tests pin the
@@ -285,11 +287,13 @@ def fused_scale_feature_block(
     ) or interpret:
         ref_scales = []
         sizes = []
-        ok = True
+        ok = h % (1 << pre_ds) == 0 and w % (1 << pre_ds) == 0
         for si in range(num_scales):
+            if not ok:
+                break
             img1, mu1, s11 = refp[start_scale + si]
             hs, ws = img1.shape[-3], img1.shape[-2]
-            good_size = (hs, ws) == (h >> si, w >> si)
+            good_size = (hs, ws) == (h >> (si + pre_ds), w >> (si + pre_ds))
             even = si == num_scales - 1 or (hs % 2 == 0 and ws % 2 == 0)
             if img1.ndim != 3 or not (good_size and even):
                 ok = False
@@ -302,7 +306,8 @@ def fused_scale_feature_block(
             from snesimage_tpu.ops.pallas_metric import multiscale_feature_sums
 
             sums = multiscale_feature_sums(
-                tuple(ref_scales), frames_cmaj, interpret=interpret
+                tuple(ref_scales), frames_cmaj, pre_ds=pre_ds,
+                interpret=interpret,
             )  # (B, n, 3, 6)
             n_px = jnp.asarray(sizes, jnp.float32)[None, :, None, None]
             one = sums[..., 0:3] / n_px
@@ -318,7 +323,7 @@ def fused_scale_feature_block(
         refp,
         frames,
         skip_scales=start_scale,
-        input_scale=start_scale,
+        input_scale=start_scale - pre_ds,
         max_scale=start_scale + num_scales,
     )
 

@@ -242,10 +242,18 @@ def test_prescreen_matches_full_selection(small_image, rng):
         subpalette_count=2, subpalette_size=4, width=64, height=64, prescreen=8
     )
     refp = make_reference_pyramid(st)
+    cfg_pre2 = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3,
+    )
     for trial in range(3):
         key = jax.random.key(trial)
         full = refine_slot_random(st, cfg, refp, key, trial % 2, trial % 4)
         pre = refine_slot_random(st, cfg_pre, refp, key, trial % 2, trial % 4)
         np.testing.assert_array_equal(
             np.asarray(full.state.palette), np.asarray(pre.state.palette)
+        )
+        pre2 = refine_slot_random(st, cfg_pre2, refp, key, trial % 2, trial % 4)
+        np.testing.assert_array_equal(
+            np.asarray(full.state.palette), np.asarray(pre2.state.palette)
         )
