@@ -410,17 +410,41 @@ def _candidate_errors_dithered(
         return jnp.where(opaque[..., None], lin, 0.0)
 
     frames = jax.vmap(one_frame)(maps, cand_lin)
+    frames_cmaj = jnp.moveaxis(frames, -1, 1)  # (B, 3, H, W)
     b = frames.shape[0]
     k = config.prescreen
     if k and b > k + 1 and allow_prescreen:
         # Same two-stage scoring as the undithered path (validated
-        # zero-regret on dithered candidate batches too).
-        coarse = 100.0 - ssimulacra2_from_ref_linear(refp, frames, skip_scales=2)
+        # zero-regret on dithered candidate batches too); the coarse rank
+        # downsamples the full-resolution frames inside the fused metric
+        # kernel (pre_ds) instead of materializing pyramid copies in XLA.
+        feats_c = fused_scale_feature_block(
+            refp, frames_cmaj, 2, NUM_SCALES - 2, pre_ds=2
+        )
+        coarse = 100.0 - score_from_features(feats_c)
         _, top = jax.lax.top_k(-coarse[1:], k)
         sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
-        full = _error_of_frame(refp, jnp.take(frames, sel, axis=0))
+        fsel = frames_cmaj[sel]
+        m = config.prescreen_full
+        if m and m + 1 < k + 1:
+            # Two-level finalists, as in the undithered path.
+            feats_1 = fused_scale_feature_block(refp, fsel, 1, 1, pre_ds=1)
+            rank1 = 100.0 - score_from_features(feats_1 + feats_c[sel])
+            _, top2 = jax.lax.top_k(-rank1[1:], m)
+            sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
+            selF = sel[sel2]
+            feats_0 = fused_scale_feature_block(
+                refp, frames_cmaj[selF], 0, 1
+            )
+            full = 100.0 - score_from_features(
+                feats_0 + feats_1[sel2] + feats_c[selF]
+            )
+            return jnp.full((b,), jnp.inf, jnp.float32).at[selF].set(full)
+        feats_f = fused_scale_feature_block(refp, fsel, 0, 2)
+        full = 100.0 - score_from_features(feats_f + feats_c[sel])
         return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
-    return _error_of_frame(refp, frames)  # one explicit metric batch
+    feats = fused_scale_feature_block(refp, frames_cmaj, 0, NUM_SCALES)
+    return 100.0 - score_from_features(feats)
 
 
 def candidate_errors(state, config: QuantConfig, refp, p, i, cand5):
