@@ -53,7 +53,7 @@ def run_batched(name: str, config, imgs, max_steps: int, chunk: int) -> dict:
     from snesimage_tpu.parallel import batch as pb
 
     # warm-up on one chunk
-    _ = pb.batched_run(imgs[:chunk], config, max_steps=1)
+    _ = pb.batched_run(imgs[:chunk], config, max_steps=max_steps)
     t0 = time.perf_counter()
     errors = []
     for lo in range(0, len(imgs), chunk):

@@ -143,6 +143,41 @@ def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
     return jnp.mean(errs)
 
 
+@partial(jax.jit, static_argnames=("config", "max_steps"))
+def _boptimize_fused(states, config: QuantConfig, refp, max_steps: int):
+    """All scheduler steps for the whole batch as ONE XLA program (a host
+    sync through the tunnel costs ~200 ms; a chunked multi-step batch run
+    would otherwise pay it once per step per chunk). Mirrors the schedule
+    and RNG stream of the host-stepped loop below."""
+    from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
+
+    b = jax.tree.leaves(states)[0].shape[0]
+    key = jax.random.key(config.seed)
+    errs = []
+    for step in range(max_steps):
+        if config.schedule == "channel":
+            is_random = False
+        else:
+            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+        if config.nes:
+            res = jax.vmap(lambda s, r: refine.sweep_nes(s, config, r))(
+                states, refp
+            )
+        elif is_random:
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            res = jax.vmap(
+                lambda s, r, k: refine.sweep_random(s, config, r, k)
+            )(states, refp, keys)
+        else:
+            res = jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(
+                states, refp
+            )
+        states = res.state
+        errs.append(jnp.mean(res.error))
+    return states, jnp.stack(errs)
+
+
 def batched_optimize(
     states: QuantState,
     config: QuantConfig,
@@ -155,31 +190,10 @@ def batched_optimize(
         states = shard_states(states, mesh)
     if max_steps is None:
         max_steps = config.max_steps
-    b = states.original.shape[0]
 
     refp = brefp(states, config)
-    key = jax.random.key(config.seed)
-    step_errors: list[float] = []
-
-    from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
-
-    for step in range(max_steps):
-        if config.schedule == "channel":
-            is_random = False
-        else:
-            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
-        if config.nes:
-            res = bsweep_nes(states, config, refp)
-        elif is_random:
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, b)
-            res = bsweep_random(states, config, refp, keys)
-        else:
-            res = bsweep_channel(states, config, refp)
-        states = res.state
-        step_errors.append(float(jnp.mean(res.error)))
-
-    return states, step_errors
+    states, errs = _boptimize_fused(states, config, refp, max_steps)
+    return states, [float(e) for e in np.asarray(errs)]
 
 
 def batched_run(
