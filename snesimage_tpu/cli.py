@@ -114,7 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--prescreen-full", type=int, default=0, metavar="M",
         help="With --prescreen: rank finalists by their exact scale-1..5 "
         "score and run the full metric's finest scale only on the top M "
-        "(0 = full-score every finalist; measured zero-regret)",
+        "(0 = full-score every finalist; 2 is plateau-identical for "
+        "red-mean runs, use >= 4 with --perceptual-palettes)",
     )
     p.add_argument(
         "--schedule", choices=["reference", "channel"], default="reference",

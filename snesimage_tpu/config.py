@@ -53,10 +53,12 @@ class QuantConfig:
     # downsamples the full-resolution finalist frames in-kernel; scale 0
     # is ~4/5 of a finalist's metric cost) and run scale 0 only for the
     # top `prescreen_full` of them plus the in-batch baseline. 0 = score
-    # every finalist fully. Same zero-regret structure as `prescreen`:
-    # acceptance still compares fully-scored candidates against the
-    # fully-scored current color, and a misrank only costs a missed
-    # improvement on the strict-less-than paths (NES opts out).
+    # every finalist fully. Acceptance still compares fully-scored
+    # candidates against the fully-scored current color, and a misrank
+    # only costs a missed improvement on the strict-less-than paths (NES
+    # opts out). Validated across content types (BENCHMARKS.md): 2 is
+    # plateau-identical for red-mean runs; perceptual runs need >= 4
+    # (at 2 the scale-1 rank misses up to ~1.2 error of improvements).
     prescreen_full: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
