@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--schedule", choices=["reference", "channel"], default="reference")
     p.add_argument("--prescreen", type=int, default=0, metavar="K")
+    p.add_argument("--prescreen-full", type=int, default=0, metavar="M")
     from snesimage_tpu.models.presets import PRESETS
 
     p.add_argument("--preset", choices=sorted(PRESETS))
@@ -75,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             random_trials=args.trials,
             schedule=args.schedule,
             prescreen=args.prescreen,
+            prescreen_full=args.prescreen_full,
         )
         indir = pathlib.Path(args.input_dir)
         outdir = pathlib.Path(args.output_dir)
