@@ -36,7 +36,11 @@ class QuantConfig:
     # Framework extensions (not in the reference).
     seed: int = 0  # jax.random seed for the random candidate search
     max_steps: int = 8  # full sweeps over all slots; reference runs forever
-    converge_tol: float = 0.0  # stop early when a full sweep improves less
+    # Stop early when the exact post-step frame error improves by less
+    # than this over one full schedule cycle (1 step for channel/NES
+    # schedules, 5 for the reference schedule; core/pipeline.py
+    # _stop_cycle). 0 disables early stopping.
+    converge_tol: float = 0.0
     random_trials: int = RANDOM_TRIALS  # candidates per random slot visit
     # Candidate prescreening: 0 = score every candidate with the full
     # SSIMULACRA2 (reference behavior); K > 0 = rank candidates with a
@@ -78,6 +82,19 @@ class QuantConfig:
             raise ValueError("schedule must be 'reference' or 'channel'")
         if self.prescreen_full < 0:
             raise ValueError("prescreen_full must be >= 0")
+        if self.perceptual_palettes and 0 < self.prescreen_full < 4:
+            # Measured (BENCHMARKS.md): the scale-1 finalist rank under
+            # CIEDE2000 misses up to ~1.2 error of improvements at
+            # prescreen_full < 4. Auto-bump instead of erroring so preset
+            # configs tuned for red-mean stay usable in perceptual mode.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "perceptual_palettes with prescreen_full=%d loses quality "
+                "(BENCHMARKS.md); bumping prescreen_full to 4",
+                self.prescreen_full,
+            )
+            object.__setattr__(self, "prescreen_full", 4)
 
     @property
     def width_tiles(self) -> int:

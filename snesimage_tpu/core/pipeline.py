@@ -39,6 +39,7 @@ import numpy as np
 from snesimage_tpu.config import QuantConfig
 from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 from snesimage_tpu.core.init import assign_tiles, recalculate_palettes
+from snesimage_tpu.core import refine
 from snesimage_tpu.core.refine import (
     error_of,
     full_remap,
@@ -64,6 +65,16 @@ class SlotVisit:
     index: int
     method: str  # "random" | "channel" | "nes"
     channel: int  # only meaningful for "channel"
+
+
+def _stop_cycle(config: QuantConfig) -> int:
+    """Steps per convergence-comparison window: the reference schedule
+    mixes weak random steps with strong channel steps, so the stop rule
+    compares errors one full 5-step cycle apart; the homogeneous channel
+    and NES schedules compare successive steps."""
+    if config.nes or config.schedule == "channel":
+        return 1
+    return SCHEDULE_CYCLE
 
 
 def _is_random_step(config: QuantConfig, step: int) -> bool:
@@ -141,10 +152,17 @@ def _optimize_fused(
     The host-driven fast path dispatches one sweep per step and syncs on
     its error for the plateau test — at ~20 ms of dispatch+sync latency
     per step that is a measurable slice of a ~2 s run. Here the host sees
-    only the final (state, per-step errors, step count). Schedule, RNG
-    stream (fold_in(seed, start_step), split-per-random-step) and the
-    stop rule (step_errors[-2] - step_errors[-1] < tol after the 2nd
-    step) mirror `optimize` exactly.
+    only the final (state, per-step errors, step count). Schedule and RNG
+    stream (fold_in(seed, start_step), split-per-random-step) mirror
+    `optimize` exactly.
+
+    Stop rule (round-3 semantics, see `optimize`): after each step an
+    EXACT post-step full-frame error is computed (fused metric, B=1) and
+    compared against the exact error one full schedule cycle ago — 1 step
+    for the channel/NES schedules, SCHEDULE_CYCLE (5) for the reference
+    schedule, so a single weak random step inside a cycle can never fire
+    the stop while the channel step still improves. Logged per-step
+    errors stay the reference-format last-slot values.
 
     `max_steps` and `start_step` are DYNAMIC (one compilation serves any
     step budget up to the static buffer bound `cap`, so a short warm-up
@@ -152,6 +170,7 @@ def _optimize_fused(
     key0 = jax.random.fold_in(jax.random.key(config.seed), start_step)
     tol = jnp.float32(config.converge_tol)
     max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+    cycle = _stop_cycle(config)
 
     def step_fn(st, key, step):
         if config.nes:
@@ -181,17 +200,21 @@ def _optimize_fused(
         return (local < max_steps) & ~done
 
     def body(carry):
-        st, key, local, prev, errs, _ = carry
+        st, key, local, window, errs, _ = carry
         st, err, key = step_fn(st, key, start_step + local)
         errs = errs.at[local].set(err)
-        done = (tol > 0) & (prev - err < tol)
-        return st, key, local + 1, err, errs, done
+        full = refine.frame_error_fused(st, config, refp)
+        slot = local % cycle
+        prev = jax.lax.dynamic_index_in_dim(window, slot, 0, keepdims=False)
+        done = (tol > 0) & (prev - full < tol)
+        window = jax.lax.dynamic_update_index_in_dim(window, full, slot, 0)
+        return st, key, local + 1, window, errs, done
 
     init = (
         state,
         key0,
         jnp.int32(0),
-        jnp.float32(jnp.inf),
+        jnp.full((cycle,), jnp.inf, jnp.float32),
         jnp.full((cap,), jnp.inf, jnp.float32),
         jnp.bool_(False),
     )
@@ -212,9 +235,14 @@ def optimize(
     """Stage 3: the refinement loop.
 
     Returns (final_state, per-step errors). Stops after `max_steps` full
-    steps or when a full step improves the error by less than
-    `config.converge_tol` (the reference runs indefinitely; README.md:52-54
-    notes it "generally stops improving within a few minutes").
+    steps or when the EXACT post-step full-frame error improves by less
+    than `config.converge_tol` over one full schedule cycle (1 step for
+    the channel/NES schedules, 5 for the reference schedule — see
+    `_stop_cycle`; the reference runs indefinitely, README.md:52-54 notes
+    it "generally stops improving within a few minutes"). Logged per-step
+    errors remain the reference-format last-slot values; the stop test
+    uses a freshly computed frame error so in-batch evaluation noise and
+    schedule heterogeneity cannot fire it early.
 
     `start_step` advances the RNG stream on resume — without it a resumed
     run would re-draw the exact candidate colors it already evaluated and
@@ -240,6 +268,8 @@ def optimize(
 
     key = jax.random.fold_in(jax.random.key(config.seed), start_step)
     step_errors: list[float] = []
+    cycle = _stop_cycle(config)
+    full_errors: list[float] = []
 
     for local in range(max_steps):
         step = start_step + local
@@ -287,10 +317,11 @@ def optimize(
 
         step_errors.append(err)
         log.info("step %d error: %f", step, err)
+        full_errors.append(float(error_of(state, config, refp)))
         if (
             config.converge_tol > 0
-            and len(step_errors) >= 2
-            and step_errors[-2] - step_errors[-1] < config.converge_tol
+            and len(full_errors) > cycle
+            and full_errors[-1 - cycle] - full_errors[-1] < config.converge_tol
         ):
             break
 

@@ -126,6 +126,21 @@ def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
     return _error_of_frame(refp, rendered)
 
 
+def frame_error_fused(state: QuantState, config: QuantConfig, refp) -> jax.Array:
+    """Exact full-frame error through the fused metric kernel (B=1).
+
+    Same value as `error_of` up to f32 summation order; used inside the
+    fused optimize loop for the convergence test and the final reported
+    error (one in-VMEM metric evaluation instead of the XLA path's ~10
+    materialized HBM maps per scale)."""
+    rendered = render_linear(
+        state.palette_map, state.alpha, state.tile_palettes, state.palette
+    )
+    frames_cmaj = jnp.moveaxis(rendered, -1, 0)[None]
+    feats = fused_scale_feature_block(refp, frames_cmaj, 0, NUM_SCALES)
+    return (100.0 - score_from_features(feats))[0]
+
+
 # ---------------------------------------------------------------------------
 # Candidate evaluation
 # ---------------------------------------------------------------------------
