@@ -46,8 +46,9 @@ def main() -> None:
 
     from snesimage_tpu.config import QuantConfig
     from snesimage_tpu.core import pipeline
-    from snesimage_tpu.core.refine import error_of, make_reference_pyramid
-    from snesimage_tpu.core.state import new_state
+    from snesimage_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # warm-up compiles persist across invocations
 
     # schedule="channel": coordinate descent converges faster AND lower
     # than the reference's random-heavy schedule (quality >= reference-
@@ -59,26 +60,18 @@ def main() -> None:
     )
     img = _test_image()
 
-    # Warm-up: compile everything on a throwaway full run.
-    state = new_state(img, config)
-    state = pipeline.initialize(state, config)
-    state = pipeline.cluster(state, config)
-    refp = make_reference_pyramid(state)
-    state, _ = pipeline.optimize(state, config, refp=refp, max_steps=6)
-    np.asarray(state.palette_map)  # hard fence (forces completion)
+    # Warm-up: compile the one fused program on a throwaway full run.
+    pipeline.run_fused(img, config)
 
     # Timed: full pipeline to convergence (each sweep = 120 slot visits,
-    # ~7.8k candidate frame evaluations with full SSIMULACRA2 each).
+    # ~7.8k candidate frame evaluations with full SSIMULACRA2 each), as
+    # ONE dispatched XLA program with ONE host sync (run_fused fences on
+    # the packed summary fetch).
     t0 = time.perf_counter()
-    state = new_state(img, config)
-    state = pipeline.initialize(state, config)
-    state = pipeline.cluster(state, config)
-    refp = make_reference_pyramid(state)
-    state, errors = pipeline.optimize(state, config, refp=refp)
-    np.asarray(state.palette_map)  # hard fence
+    state, errors, info = pipeline.run_fused(img, config)
     elapsed = time.perf_counter() - t0
 
-    final_error = float(error_of(state, config, refp))
+    final_error = info["final_error"]
     images_per_sec = 1.0 / elapsed
 
     print(

@@ -42,8 +42,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", choices=sorted(PRESETS))
     p.add_argument("--trials", type=int, default=64)
     p.add_argument("--limit", type=int, help="Only process the first N images")
+    p.add_argument(
+        "--num-hosts", type=int, default=1,
+        help="Multi-host scale-out: total number of hosts processing this "
+        "directory (see docs/adr/0001-multihost.md)",
+    )
+    p.add_argument(
+        "--host-id", type=int, default=0,
+        help="This host's 0-based shard index in [0, num-hosts)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
+
+
+def shard_paths(paths: list, num_hosts: int, host_id: int) -> list:
+    """Round-robin shard of the sorted file list for one host.
+
+    Multi-host scale-out for this workload is per-host FILE sharding, not
+    a jax.distributed global mesh: images are embarrassingly parallel with
+    zero cross-image communication (SURVEY.md §2.5), so each host runs an
+    independent local-mesh batched program over its own shard and nothing
+    ever crosses DCN. Round-robin keeps shard sizes within one of each
+    other. Rationale: docs/adr/0001-multihost.md.
+    """
+    if not 0 <= host_id < num_hosts:
+        raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+    return list(paths)[host_id::num_hosts]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -86,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         paths = sorted(p for p in indir.iterdir() if p.suffix.lower() in exts)
         if args.limit:
             paths = paths[: args.limit]
+        if args.num_hosts > 1:
+            paths = shard_paths(paths, args.num_hosts, args.host_id)
+            log.info(
+                "host %d/%d: processing %d-image shard",
+                args.host_id, args.num_hosts, len(paths),
+            )
         if not paths:
             raise ValueError(f"No images found in {indir}")
 

@@ -199,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     try:
+        optimized = False
         if args.resume:
             state, config, meta = load_checkpoint(args.resume)
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
@@ -243,12 +244,26 @@ def main(argv: list[str] | None = None) -> int:
                     save_preview(args.preview, state, config)
                     log.info("Preview written to %s", args.preview)
                 return 0
-            state = pipeline.new_state(img, config)
-            state = pipeline.initialize(state, config)
-            state = pipeline.cluster(state, config)
-            errors = []
+            if (
+                not args.skip_optimize
+                and not args.verbose
+                and args.reassign_every == 0
+            ):
+                # Latency fast path: the whole pipeline as ONE dispatched
+                # XLA program with ONE host sync (pipeline.run_fused) —
+                # every separate dispatch+sync costs a full tunnel RTT.
+                from snesimage_tpu.utils.profiling import trace
 
-        if not args.skip_optimize:
+                with trace(args.profile_dir):
+                    state, errors, _ = pipeline.run_fused(img, config)
+                optimized = True
+            else:
+                state = pipeline.new_state(img, config)
+                state = pipeline.initialize(state, config)
+                state = pipeline.cluster(state, config)
+                errors = []
+
+        if not args.skip_optimize and not optimized:
             from snesimage_tpu.utils.profiling import trace
 
             on_slot = None

@@ -222,6 +222,66 @@ def _optimize_fused(
     return st, errs, n
 
 
+@partial(jax.jit, static_argnames=("config", "cap"))
+def _optimize_fused_summary(
+    state: QuantState, config: QuantConfig, refp, max_steps, start_step,
+    cap: int,
+):
+    """`_optimize_fused` plus the final exact frame error, with the scalar
+    results packed into ONE (cap+2,) vector = [step_errors, n_steps,
+    final_error] so the host fetches everything in a single sync."""
+    state, errs, n = _optimize_fused(
+        state, config, refp, max_steps, start_step, cap
+    )
+    final = refine.frame_error_fused(state, config, refp)
+    summary = jnp.concatenate(
+        [errs, jnp.stack([n.astype(jnp.float32), final])]
+    )
+    return state, summary
+
+
+def run_fused(
+    source_rgba: np.ndarray,
+    config: QuantConfig,
+    *,
+    max_steps: int | None = None,
+    start_step: int = 0,
+) -> tuple[QuantState, list[float], dict]:
+    """Full pipeline with exactly ONE host sync.
+
+    The tunnel RTT of this environment makes every host sync cost
+    150-270 ms, but chained async dispatches are nearly free — so init,
+    clustering and the pyramid dispatch asynchronously, the whole
+    refinement loop runs as one XLA program, and the host fetches one
+    packed summary vector (step errors + step count + the final exact
+    error computed in-program). Semantically equal to `run` (same stages,
+    same RNG stream, same stop rule). The stages stay separate XLA
+    programs rather than one mega-program: inlining init's k-means into
+    the optimize program measurably wedged this environment's remote
+    Mosaic compile."""
+    state = new_state(source_rgba, config)
+    if max_steps is None:
+        max_steps = config.max_steps
+    cap = max(config.max_steps, max_steps)
+    t0 = time.perf_counter()
+    state = initialize(state, config)
+    state = cluster(state, config)
+    refp = make_reference_pyramid(state)
+    state, summary = _optimize_fused_summary(
+        state, config, refp, max_steps, start_step, cap
+    )
+    s = np.asarray(summary)  # the one host sync
+    elapsed = time.perf_counter() - t0
+    n = int(s[cap])
+    errors = [float(e) for e in s[:n]]
+    for local, err in enumerate(errors):
+        log.info("step %d error: %f", start_step + local, err)
+    return state, errors, {
+        "total_seconds": elapsed,
+        "final_error": float(s[cap + 1]),
+    }
+
+
 def optimize(
     state: QuantState,
     config: QuantConfig,

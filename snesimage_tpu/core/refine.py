@@ -53,13 +53,19 @@ from snesimage_tpu.ops.remap import (
     remap_undithered,
     render_linear,
 )
+from snesimage_tpu.ops.pallas_metric import (
+    coarse_feature_sums_ciede,
+    coarse_feature_sums_redmean,
+)
 from snesimage_tpu.ops.pallas_prescreen import (
     pooled_wins_ciede,
     pooled_wins_redmean,
     select_colors,
+    use_pallas_prescreen,
 )
 from snesimage_tpu.ops.ssimulacra2 import (
     NUM_SCALES,
+    finalize_feature_sums,
     fused_scale_feature_block,
     reference_pyramid,
     score_from_features,
@@ -270,41 +276,91 @@ def _undithered_machinery(
             # irrelevant for ranking and cancelled by the in-batch baseline)
             ds4_l = lnc_cmaj.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
             dcand = None
-            if perceptual:
-                bvalm = jnp.where(cand_mask2, best_val, -_BIG)
-                pooled, dcand = pooled_wins_ciede(
-                    jnp.moveaxis(target_lab, -1, 0),
-                    cand_lab,
-                    bvalm,
-                    adj,
-                    ml_cmaj,
-                    lambda: jax.vmap(
-                        lambda c8, c_lab: _cand_dist(c8, c_lab)
-                    )(cand8, cand_lab).astype(best_val.dtype),
+            # Fully fused coarse stage (TPU): win mask + pooled sums +
+            # coarse frame + scale-2..5 features in ONE kernel per
+            # candidate (ops/pallas_metric.py) — the chain of pooled
+            # kernel -> XLA frame assembly -> metric kernel was 43% of a
+            # round-2 sweep. Requires the refp coarse scales at exact
+            # power-of-two sizes (true for the 8-aligned geometries).
+            fused_ok = (
+                h % 32 == 0
+                and w % 32 == 0
+                and all(
+                    refp[s][0].ndim == 3
+                    and refp[s][0].shape[:2] == (h >> s, w >> s)
+                    for s in range(2, NUM_SCALES)
                 )
+            )
+            if use_pallas_prescreen() and fused_ok:
+                flat_refs = tuple(
+                    jnp.moveaxis(a, -1, -3)
+                    for s in range(2, NUM_SCALES)
+                    for a in refp[s]
+                )
+                sizes = [
+                    refp[s][0].shape[0] * refp[s][0].shape[1]
+                    for s in range(2, NUM_SCALES)
+                ]
+                if perceptual:
+                    bvalm = jnp.where(cand_mask2, best_val, -_BIG)
+                    sums, dcand = coarse_feature_sums_ciede(
+                        jnp.moveaxis(target_lab, -1, 0), cand_lab,
+                        cand_lin, bvalm, adj, ml_cmaj, ds4_l, flat_refs,
+                    )
+                else:
+                    bva = jnp.where(
+                        cand_mask2,
+                        jnp.where(
+                            best_val == jnp.iinfo(jnp.int32).max,
+                            best_val,
+                            best_val + adj,
+                        ),
+                        jnp.iinfo(jnp.int32).min,
+                    )
+                    tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
+                    sums = coarse_feature_sums_redmean(
+                        tg_cmaj, cand8.astype(jnp.int32), cand_lin, bva,
+                        ml_cmaj, ds4_l, flat_refs,
+                    )
+                feats_c = finalize_feature_sums(sums, sizes, 2)
             else:
-                # Integer path: the tie rule folds into the threshold
-                # (wins = d < best_val + adj), the distance plane is
-                # computed inside the kernel — no (B, H, W) materialization.
-                bva = jnp.where(
-                    cand_mask2,
-                    jnp.where(
-                        best_val == jnp.iinfo(jnp.int32).max,
-                        best_val,
-                        best_val + adj,
-                    ),
-                    jnp.iinfo(jnp.int32).min,
-                )
-                tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
-                pooled = pooled_wins_redmean(
-                    tg_cmaj, cand8.astype(jnp.int32), bva, ml_cmaj
-                )
-            coarse_frames = (
-                cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
-            ) / 16.0 + ds4_l[None]  # (B, 3, h/4, w/4) channel-major
-            feats_c = fused_scale_feature_block(
-                refp, coarse_frames, 2, NUM_SCALES - 2
-            )  # (B, 6, 3, 6); scales 0-1 zero
+                if perceptual:
+                    bvalm = jnp.where(cand_mask2, best_val, -_BIG)
+                    pooled, dcand = pooled_wins_ciede(
+                        jnp.moveaxis(target_lab, -1, 0),
+                        cand_lab,
+                        bvalm,
+                        adj,
+                        ml_cmaj,
+                        lambda: jax.vmap(
+                            lambda c8, c_lab: _cand_dist(c8, c_lab)
+                        )(cand8, cand_lab).astype(best_val.dtype),
+                    )
+                else:
+                    # Integer path: the tie rule folds into the threshold
+                    # (wins = d < best_val + adj), the distance plane is
+                    # computed inside the kernel — no (B, H, W)
+                    # materialization.
+                    bva = jnp.where(
+                        cand_mask2,
+                        jnp.where(
+                            best_val == jnp.iinfo(jnp.int32).max,
+                            best_val,
+                            best_val + adj,
+                        ),
+                        jnp.iinfo(jnp.int32).min,
+                    )
+                    tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
+                    pooled = pooled_wins_redmean(
+                        tg_cmaj, cand8.astype(jnp.int32), bva, ml_cmaj
+                    )
+                coarse_frames = (
+                    cand_lin[:, :, None, None] * pooled[:, :1]
+                    - pooled[:, 1:4]
+                ) / 16.0 + ds4_l[None]  # (B, 3, h/4, w/4) channel-major
+                feats_c = fused_scale_feature_block(
+                    refp, coarse_frames, 2, NUM_SCALES - 2
+                )  # (B, 6, 3, 6); scales 0-1 zero
             coarse = 100.0 - score_from_features(feats_c)
             _, top = jax.lax.top_k(-coarse[1:], k)
             sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])

@@ -15,8 +15,9 @@ kernel here fuses, per candidate and entirely in VMEM:
 emitting 18 raw moments per scale. Reference-side blocks use constant
 index maps so Mosaic keeps them VMEM-resident across the candidate grid.
 This is the refine loop's hot metric path (ops/ssimulacra2.py
-fused_scale_feature_block); off-TPU and image-batched callers use the
-identical-semantics XLA path.
+fused_scale_feature_block); off-TPU callers use the identical-semantics
+XLA path, and image-batched callers fold into a leading image grid axis
+via the custom_vmap rule (_msfs_core).
 """
 
 from __future__ import annotations
@@ -138,6 +139,184 @@ def _ds2(x: jax.Array, pw: jax.Array) -> jax.Array:
     )
 
 
+def _scales_feature_tile(
+    r, g, bb, ref_plane, n, ref_hw, pool_for, blur_for, r_pad
+):
+    """Shared in-kernel multi-scale feature accumulation.
+
+    (r, g, bb): linear-RGB channel planes at the first scale's resolution.
+    ref_plane(si, j, c): reference plane j in (img1, mu1, s11) of scale si,
+    channel c. pool_for(si): the pool2 matrix ref for the downsample INTO
+    scale si (si >= 1). blur_for(sz): blur matrix ref for edge length sz.
+    Returns the (r_pad, 128) output tile of raw feature sums (row =
+    si*3 + channel, col = moment index 0..5)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 1)
+    tile = jnp.zeros((r_pad, 128), dtype=jnp.float32)
+    for si in range(n):
+        if si:
+            pw = pool_for(si)
+            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
+        hs, ws = ref_hw[si]
+        brow = blur_for(hs)
+        bcol = blur_for(ws)
+
+        def blur_fn(t, brow=brow, bcol=bcol):
+            # Banded matrices are symmetric, so t @ bcol == t @ bcol.T.
+            tmp = jnp.dot(
+                brow,
+                t,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.dot(
+                tmp,
+                bcol,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        xyb = _opsin_xyb(r, g, bb)
+        for c in range(3):
+            sums = _feature_sums(
+                ref_plane(si, 0, c),
+                ref_plane(si, 1, c),
+                ref_plane(si, 2, c),
+                xyb[c],
+                blur_fn,
+            )
+            ri = si * 3 + c
+            for k, v in enumerate(sums):
+                tile = tile + jnp.where((row == ri) & (col == k), v, 0.0)
+    return tile
+
+
+def _multiscale_feature_sums_n(
+    flat_refs: tuple,
+    frames: jax.Array,
+    *,
+    n: int,
+    pre_ds: int,
+    interpret: bool,
+) -> jax.Array:
+    """N-image batched kernel launch: grid (N, B), candidate innermost so
+    each image's reference blocks stay VMEM-resident across candidates.
+
+    flat_refs: 3n arrays (img1, mu1, s11 per scale), each (N, 3, h_s, w_s).
+    frames: (N, B, 3, H, W). Returns (N, B, n, 3, 6) raw sums.
+    """
+    from snesimage_tpu.ops.ssimulacra2 import _blur_matrix
+
+    n_img, b, _, h, w = frames.shape
+    rows = n * 3
+    r_pad = -(-rows // 8) * 8
+    ref_hw = [flat_refs[3 * si].shape[-2:] for si in range(n)]
+    pre_widths = [w >> d for d in range(pre_ds)]
+    pools = [jnp.asarray(_pool2_matrix(pw)) for pw in pre_widths] + [
+        jnp.asarray(_pool2_matrix(ref_hw[si][1])) for si in range(n - 1)
+    ]
+    # One banded blur matrix per distinct plane edge length (the same
+    # matrices the XLA path multiplies with, ops/ssimulacra2.py blur):
+    # in-kernel the blur runs as two MXU matmuls per field instead of the
+    # VPU shift-add FIR — on the sub-128 planes of the coarse scales the
+    # FIR wastes most of each (8, 128) vreg, measured ~2.4x off roofline.
+    blur_sizes: list[int] = []
+    for si in range(n):
+        for edge in ref_hw[si]:
+            if edge not in blur_sizes:
+                blur_sizes.append(edge)
+    blur_mats = [jnp.asarray(_blur_matrix(sz)) for sz in blur_sizes]
+
+    def kernel(*args):
+        fr_ref = args[0]
+        refs = args[1 : 1 + 3 * n]
+        n_pools = pre_ds + n - 1
+        pool_refs = args[1 + 3 * n : 1 + 3 * n + n_pools]
+        blur_refs = args[1 + 3 * n + n_pools : -1]
+        out_ref = args[-1]
+        r, g, bb = fr_ref[0, 0, 0], fr_ref[0, 0, 1], fr_ref[0, 0, 2]
+        for d in range(pre_ds):
+            pw = pool_refs[d][:]
+            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
+        out_ref[0, 0] = _scales_feature_tile(
+            r, g, bb,
+            lambda si, j, c: refs[3 * si + j][0, c],
+            n, ref_hw,
+            lambda si: pool_refs[pre_ds + si - 1][:],
+            lambda sz: blur_refs[blur_sizes.index(sz)][:],
+            r_pad,
+        )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, 3, h, w), lambda im, i: (im, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    for si in range(n):
+        hs, ws = ref_hw[si]
+        spec = pl.BlockSpec(
+            (1, 3, hs, ws), lambda im, i: (im, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [spec, spec, spec]
+    for pool in pools:
+        pshape = pool.shape
+        in_specs.append(
+            pl.BlockSpec(pshape, lambda im, i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for sz in blur_sizes:
+        in_specs.append(
+            pl.BlockSpec(
+                (sz, sz), lambda im, i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_img, b),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(frames, *flat_refs, *pools, *blur_mats)
+    return out[:, :, :rows, :6].reshape(n_img, b, n, 3, 6)
+
+
+@functools.lru_cache(maxsize=None)
+def _msfs_core(n: int, pre_ds: int, interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(frames, *flat_refs):
+        return _multiscale_feature_sums_n(
+            tuple(a[None] for a in flat_refs), frames[None],
+            n=n, pre_ds=pre_ds, interpret=interpret,
+        )[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, frames, *flat_refs):
+        def bcast(a, batched):
+            if batched:
+                return a
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+        fb, *rb = in_batched
+        return (
+            _multiscale_feature_sums_n(
+                tuple(bcast(a, bb) for a, bb in zip(flat_refs, rb)),
+                bcast(frames, fb),
+                n=n, pre_ds=pre_ds, interpret=interpret,
+            ),
+            True,
+        )
+
+    return core
+
+
 def multiscale_feature_sums(
     ref_scales: tuple,
     frames: jax.Array,
@@ -159,117 +338,342 @@ def multiscale_feature_sums(
         full-resolution frames at scale 1 without an XLA-side
         materialized half-resolution copy.
 
-    Does NOT compose with jax.vmap — image-batched callers never reach
-    this function (ops/ssimulacra2.py fused_scale_feature_block detects
-    batch tracers and takes the XLA feature path).
+    `jax.vmap` over a leading image axis (on frames and/or the reference
+    arrays) folds into the kernel's leading image grid dimension via a
+    custom batching rule — never vmap-of-pallas_call, which hangs Mosaic
+    on shared operands, including when reached through vmap-of-jit.
 
     Returns (B, n_scales, 3, 6) raw sums in _feature_sums order; divide by
     h_s*w_s and fourth-root outside.
     """
-    from snesimage_tpu.ops.ssimulacra2 import _blur_matrix
+    flat_refs = tuple(a for triple in ref_scales for a in triple)
+    return _msfs_core(len(ref_scales), pre_ds, interpret)(frames, *flat_refs)
 
-    n = len(ref_scales)
-    b, _, h, w = frames.shape
-    rows = n * 3
+
+# ---------------------------------------------------------------------------
+# Fully fused coarse prescreen (round 3): win mask + pooled sums + coarse
+# frame + scale-2..5 features in ONE program per candidate. Replaces the
+# pooled-win kernel -> XLA coarse-frame assembly -> multi-scale kernel
+# chain (three dispatches and two HBM round-trips per slot visit) on the
+# refine loop's hottest stage — the 33-candidate coarse rank was 43% of a
+# round-2 sweep. The coarse frame decomposition is ops/pallas_prescreen.py's:
+#     ds4(where(m, c, L)) = ds4(L) + (c * pool4(m) - pool4(m * ML)) / 16
+# computed here entirely in VMEM, feeding _scales_feature_tile directly.
+# ---------------------------------------------------------------------------
+
+
+def _coarse_kernel_redmean(n_scales, ref_hw, blur_sizes, r_pad):
+    def kernel(*args):
+        tg_ref, col_ref, clin_ref, bva_ref, ml_ref, ds4_ref = args[:6]
+        refs = args[6 : 6 + 3 * n_scales]
+        p4_ref = args[6 + 3 * n_scales]
+        pool_refs = args[7 + 3 * n_scales : 6 + 4 * n_scales]
+        blur_refs = args[6 + 4 * n_scales : -1]
+        out_ref = args[-1]
+        h, w = bva_ref.shape[1:]
+        im = pl.program_id(0)
+        b = pl.program_id(1)
+        cr = col_ref[im, b, 0]
+        cg = col_ref[im, b, 1]
+        cb = col_ref[im, b, 2]
+        dr = tg_ref[0, 0] - cr
+        dg = tg_ref[0, 1] - cg
+        db = tg_ref[0, 2] - cb
+        rsum = tg_ref[0, 0] + cr
+        d = (1024 + rsum) * dr * dr + 2048 * dg * dg + (1534 - rsum) * db * db
+        m = (d < bva_ref[0]).astype(jnp.float32)
+
+        def pool4(x):
+            hs = x.reshape(h // 4, 4, w).sum(axis=1)
+            return jnp.dot(
+                hs,
+                p4_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        p0 = pool4(m)
+        inv16 = np.float32(1.0 / 16.0)
+        planes = [
+            (clin_ref[im, b, k] * p0 - pool4(m * ml_ref[0, k])) * inv16
+            + ds4_ref[0, k]
+            for k in range(3)
+        ]
+        out_ref[0, 0] = _scales_feature_tile(
+            planes[0], planes[1], planes[2],
+            lambda si, j, c: refs[3 * si + j][0, c],
+            n_scales, ref_hw,
+            lambda si: pool_refs[si - 1][:],
+            lambda sz: blur_refs[blur_sizes.index(sz)][:],
+            r_pad,
+        )
+
+    return kernel
+
+
+def _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad):
+    def kernel(*args):
+        from snesimage_tpu.ops.pallas_dither import _ciede2000_planes
+
+        (tlab_ref, clab_ref, clin_ref, bv_ref, adj_ref, ml_ref,
+         ds4_ref) = args[:7]
+        refs = args[7 : 7 + 3 * n_scales]
+        p4_ref = args[7 + 3 * n_scales]
+        pool_refs = args[8 + 3 * n_scales : 7 + 4 * n_scales]
+        blur_refs = args[7 + 4 * n_scales : -2]
+        out_ref = args[-2]
+        d_ref = args[-1]
+        h, w = bv_ref.shape[1:]
+        im = pl.program_id(0)
+        b = pl.program_id(1)
+        d = _ciede2000_planes(
+            tlab_ref[0, 0], tlab_ref[0, 1], tlab_ref[0, 2],
+            clab_ref[im, b, 0], clab_ref[im, b, 1], clab_ref[im, b, 2],
+        )
+        d_ref[0, 0] = d
+        wins = (d < bv_ref[0]) | ((d == bv_ref[0]) & (adj_ref[0] != 0))
+        m = wins.astype(jnp.float32)
+
+        def pool4(x):
+            hs = x.reshape(h // 4, 4, w).sum(axis=1)
+            return jnp.dot(
+                hs,
+                p4_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        p0 = pool4(m)
+        inv16 = np.float32(1.0 / 16.0)
+        planes = [
+            (clin_ref[im, b, k] * p0 - pool4(m * ml_ref[0, k])) * inv16
+            + ds4_ref[0, k]
+            for k in range(3)
+        ]
+        out_ref[0, 0] = _scales_feature_tile(
+            planes[0], planes[1], planes[2],
+            lambda si, j, c: refs[3 * si + j][0, c],
+            n_scales, ref_hw,
+            lambda si: pool_refs[si - 1][:],
+            lambda sz: blur_refs[blur_sizes.index(sz)][:],
+            r_pad,
+        )
+
+    return kernel
+
+
+def _coarse_common(flat_refs, w):
+    from snesimage_tpu.ops.pallas_prescreen import _pool_matrix
+
+    n_scales = len(flat_refs) // 3
+    ref_hw = [flat_refs[3 * si].shape[-2:] for si in range(n_scales)]
+    rows = n_scales * 3
     r_pad = -(-rows // 8) * 8
-    pre_widths = [w >> d for d in range(pre_ds)]
-    pools = [jnp.asarray(_pool2_matrix(pw)) for pw in pre_widths] + [
-        jnp.asarray(_pool2_matrix(ref_scales[si][0].shape[-1]))
-        for si in range(n - 1)
+    p4 = jnp.asarray(_pool_matrix(w))
+    pools = [
+        jnp.asarray(_pool2_matrix(ref_hw[si][1])) for si in range(n_scales - 1)
     ]
-    flat_refs = [a for triple in ref_scales for a in triple]
-    # One banded blur matrix per distinct plane edge length (the same
-    # matrices the XLA path multiplies with, ops/ssimulacra2.py blur):
-    # in-kernel the blur runs as two MXU matmuls per field instead of the
-    # VPU shift-add FIR — on the sub-128 planes of the coarse scales the
-    # FIR wastes most of each (8, 128) vreg, measured ~2.4x off roofline.
     blur_sizes: list[int] = []
-    for si in range(n):
-        for edge in ref_scales[si][0].shape[-2:]:
+    for si in range(n_scales):
+        for edge in ref_hw[si]:
             if edge not in blur_sizes:
                 blur_sizes.append(edge)
-    blur_mats = [jnp.asarray(_blur_matrix(sz)) for sz in blur_sizes]
+    blur_mats = [jnp.asarray(_blur_matrix_local(sz)) for sz in blur_sizes]
+    return n_scales, ref_hw, rows, r_pad, p4, pools, blur_sizes, blur_mats
 
-    def kernel(*args):
-        fr_ref = args[0]
-        refs = args[1 : 1 + 3 * n]
-        n_pools = pre_ds + n - 1
-        pool_refs = args[1 + 3 * n : 1 + 3 * n + n_pools]
-        blur_refs = args[1 + 3 * n + n_pools : -1]
-        out_ref = args[-1]
-        r, g, bb = fr_ref[0, 0], fr_ref[0, 1], fr_ref[0, 2]
-        for d in range(pre_ds):
-            pw = pool_refs[d][:]
-            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
-        row = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (r_pad, 128), 1)
-        tile = jnp.zeros((r_pad, 128), dtype=jnp.float32)
-        for si in range(n):
-            if si:
-                pw = pool_refs[pre_ds + si - 1][:]
-                r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
-            hs, ws = ref_scales[si][0].shape[-2:]
-            brow = blur_refs[blur_sizes.index(hs)][:]
-            bcol = blur_refs[blur_sizes.index(ws)][:]
 
-            def blur_fn(t, brow=brow, bcol=bcol):
-                # Banded matrices are symmetric, so t @ bcol == t @ bcol.T.
-                tmp = jnp.dot(
-                    brow,
-                    t,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                return jnp.dot(
-                    tmp,
-                    bcol,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+def _blur_matrix_local(sz):
+    from snesimage_tpu.ops.ssimulacra2 import _blur_matrix
 
-            xyb = _opsin_xyb(r, g, bb)
-            for c in range(3):
-                sums = _feature_sums(
-                    refs[3 * si][c],
-                    refs[3 * si + 1][c],
-                    refs[3 * si + 2][c],
-                    xyb[c],
-                    blur_fn,
-                )
-                ri = si * 3 + c
-                for k, v in enumerate(sums):
-                    tile = tile + jnp.where((row == ri) & (col == k), v, 0.0)
-        out_ref[0] = tile
+    return _blur_matrix(sz)
 
+
+def _coarse_redmean_n(
+    tg, cand8, cand_lin, bva, ml, ds4_l, flat_refs, *, interpret: bool
+):
+    """(N, B, rows, 6) raw coarse feature sums, one program per (image,
+    candidate)."""
+    n_img, b = cand8.shape[:2]
+    h, w = bva.shape[-2:]
+    (n_scales, ref_hw, rows, r_pad, p4, pools, blur_sizes,
+     blur_mats) = _coarse_common(flat_refs, w)
+
+    plane = pl.BlockSpec(
+        (1, h, w), lambda im, i: (im, 0, 0), memory_space=pltpu.VMEM
+    )
+    cplane = pl.BlockSpec(
+        (1, 3, h, w), lambda im, i: (im, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [
+        cplane, smem, smem, plane, cplane,
         pl.BlockSpec(
-            (1, 3, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        )
+            (1, 3, h // 4, w // 4), lambda im, i: (im, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     ]
-    for si in range(n):
-        hs, ws = ref_scales[si][0].shape[-2:]
+    for si in range(n_scales):
+        hs, ws = ref_hw[si]
         spec = pl.BlockSpec(
-            (3, hs, ws), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (1, 3, hs, ws), lambda im, i: (im, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         )
         in_specs += [spec, spec, spec]
-    for pool in pools:
-        pshape = pool.shape
+    for mat in [p4] + pools + blur_mats:
         in_specs.append(
-            pl.BlockSpec(pshape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                mat.shape, lambda im, i: (0, 0), memory_space=pltpu.VMEM
+            )
         )
-    for sz in blur_sizes:
-        in_specs.append(
-            pl.BlockSpec((sz, sz), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        )
-
     out = pl.pallas_call(
-        kernel,
-        grid=(b,),
+        _coarse_kernel_redmean(n_scales, ref_hw, blur_sizes, r_pad),
+        grid=(n_img, b),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, r_pad, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, r_pad, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
         interpret=interpret,
-    )(frames, *flat_refs, *pools, *blur_mats)
-    return out[:, :rows, :6].reshape(b, n, 3, 6)
+    )(tg, cand8, cand_lin, bva, ml, ds4_l, *flat_refs, p4, *pools, *blur_mats)
+    return out[:, :, :rows, :6]
+
+
+def _coarse_ciede_n(
+    tlab, clab, cand_lin, bv, adj, ml, ds4_l, flat_refs, *, interpret: bool
+):
+    """((N, B, rows, 6) raw sums, (N, B, H, W) dcand planes)."""
+    n_img, b = clab.shape[:2]
+    h, w = bv.shape[-2:]
+    (n_scales, ref_hw, rows, r_pad, p4, pools, blur_sizes,
+     blur_mats) = _coarse_common(flat_refs, w)
+
+    plane = pl.BlockSpec(
+        (1, h, w), lambda im, i: (im, 0, 0), memory_space=pltpu.VMEM
+    )
+    cplane = pl.BlockSpec(
+        (1, 3, h, w), lambda im, i: (im, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [
+        cplane, smem, smem, plane, plane, cplane,
+        pl.BlockSpec(
+            (1, 3, h // 4, w // 4), lambda im, i: (im, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    for si in range(n_scales):
+        hs, ws = ref_hw[si]
+        spec = pl.BlockSpec(
+            (1, 3, hs, ws), lambda im, i: (im, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [spec, spec, spec]
+    for mat in [p4] + pools + blur_mats:
+        in_specs.append(
+            pl.BlockSpec(
+                mat.shape, lambda im, i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+    out, dcand = pl.pallas_call(
+        _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad),
+        grid=(n_img, b),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, h, w), lambda im, i: (im, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_img, b, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        tlab, clab, cand_lin, bv, adj, ml, ds4_l, *flat_refs, p4, *pools,
+        *blur_mats,
+    )
+    return out[:, :, :rows, :6], dcand
+
+
+@functools.lru_cache(maxsize=None)
+def _coarse_redmean_core(interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(tg, cand8, cand_lin, bva, ml, ds4_l, *flat_refs):
+        return _coarse_redmean_n(
+            tg[None], cand8[None], cand_lin[None], bva[None], ml[None],
+            ds4_l[None], tuple(a[None] for a in flat_refs),
+            interpret=interpret,
+        )[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(a, bb):
+            return a if bb else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+        full = [bcast(a, bb) for a, bb in zip(args, in_batched)]
+        return (
+            _coarse_redmean_n(
+                *full[:6], tuple(full[6:]), interpret=interpret
+            ),
+            True,
+        )
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def _coarse_ciede_core(interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(tlab, clab, cand_lin, bv, adj, ml, ds4_l, *flat_refs):
+        sums, dcand = _coarse_ciede_n(
+            tlab[None], clab[None], cand_lin[None], bv[None], adj[None],
+            ml[None], ds4_l[None], tuple(a[None] for a in flat_refs),
+            interpret=interpret,
+        )
+        return sums[0], dcand[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(a, bb):
+            return a if bb else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+        full = [bcast(a, bb) for a, bb in zip(args, in_batched)]
+        return (
+            _coarse_ciede_n(*full[:7], tuple(full[7:]), interpret=interpret),
+            (True, True),
+        )
+
+    return core
+
+
+def coarse_feature_sums_redmean(
+    tg_cmaj, cand8, cand_lin, bva, ml_cmaj, ds4_l, flat_refs, *,
+    interpret=False,
+):
+    """Fused coarse prescreen, red-mean path. Args as core/refine.py
+    assembles them; flat_refs = channel-major (img1, mu1, s11) triples of
+    the coarse scales. Returns (B, 3*n_scales, 6) raw sums."""
+    return _coarse_redmean_core(interpret)(
+        tg_cmaj, cand8, cand_lin, bva, ml_cmaj, ds4_l, *flat_refs
+    )
+
+
+def coarse_feature_sums_ciede(
+    tlab_cmaj, cand_lab, cand_lin, bvalm, adj, ml_cmaj, ds4_l, flat_refs, *,
+    interpret=False,
+):
+    """Fused coarse prescreen, CIEDE2000 path. Also returns the (B, H, W)
+    candidate distance planes for finalist reuse."""
+    return _coarse_ciede_core(interpret)(
+        tlab_cmaj, cand_lab, cand_lin, bvalm, adj, ml_cmaj, ds4_l, *flat_refs
+    )

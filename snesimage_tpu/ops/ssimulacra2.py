@@ -258,6 +258,26 @@ def _use_fused_block() -> bool:
     )
 
 
+def finalize_feature_sums(
+    sums: jax.Array, sizes, start_scale: int
+) -> jax.Array:
+    """Raw in-kernel moment sums -> (B, NUM_SCALES, 3, 6) feature tensor.
+
+    sums: (B, 3*n, 6) raw sums (row-major scale x channel), `sizes` the
+    per-scale pixel counts. Scales outside [start_scale, start_scale+n)
+    are zero — the same postlude fused_scale_feature_block applies."""
+    b = sums.shape[0]
+    n = len(sizes)
+    sums = sums.reshape(b, n, 3, 6)
+    n_px = jnp.asarray(sizes, jnp.float32)[None, :, None, None]
+    one = sums[..., 0:3] / n_px
+    m4 = sums[..., 3:6] / n_px
+    four = jnp.where(m4 > 0, jnp.where(m4 > 0, m4, 1.0) ** 0.25, 0.0)
+    block = jnp.concatenate([one, four], axis=-1)
+    full = jnp.zeros((b, NUM_SCALES, 3, 6), jnp.float32)
+    return jax.lax.dynamic_update_slice(full, block, (0, start_scale, 0, 0))
+
+
 def fused_scale_feature_block(
     refp,
     frames_cmaj: jax.Array,
@@ -276,15 +296,13 @@ def fused_scale_feature_block(
     [start_scale, start_scale + num_scales). Off-TPU (or when the pyramid
     used edge-replicated odd-size downsamples the kernel cannot reproduce)
     falls back to the XLA path — identical semantics, so CPU tests pin the
-    same numbers.
+    same numbers. Image-batched callers may `jax.vmap` this freely: the
+    kernel entry carries a custom batching rule that folds the image axis
+    into its grid (ops/pallas_metric.py _msfs_core).
     """
     b = frames_cmaj.shape[0]
     h, w = frames_cmaj.shape[-2:]
-    from snesimage_tpu.ops.pallas_prescreen import is_batched
-
-    if (
-        _use_fused_block() and not is_batched(refp, frames_cmaj)
-    ) or interpret:
+    if _use_fused_block() or interpret:
         ref_scales = []
         sizes = []
         ok = h % (1 << pre_ds) == 0 and w % (1 << pre_ds) == 0

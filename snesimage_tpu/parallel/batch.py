@@ -67,13 +67,16 @@ def shard_states(states: QuantState, mesh: Mesh) -> QuantState:
 # static. jit(vmap(...)) lets XLA partition over the sharded batch axis.
 
 
-# Batched tracing note: vmap-of-pallas_call hangs Mosaic, so every kernel
-# entry point carries a custom batching rule — the dither wavefront folds
-# the image axis into its kernel grid (ops/pallas_dither.py), the
-# prescreen/select kernels fall back to their vmapped XLA twins
-# (ops/pallas_prescreen.py), and the fused metric to its XLA twin
-# (ops/pallas_metric.py). vmapping the pipeline stages below is therefore
-# safe with no environment toggles.
+# Batched tracing note: vmap-of-pallas_call hangs Mosaic, so EVERY kernel
+# entry point carries a real custom_vmap batching rule that folds the
+# image axis into a leading kernel grid dimension: the dither wavefront
+# (ops/pallas_dither.py _core_fn), the pooled-win prescreen and color
+# select (ops/pallas_prescreen.py), and the fused multi-scale metric
+# (ops/pallas_metric.py _msfs_core). Because the rules live on the call
+# primitives, they also hold through vmap-of-jit (where trace-time tracer
+# sniffing is blind — the round-2 BatchTracer check failed exactly there).
+# vmapping the pipeline stages below is therefore safe with no
+# environment toggles, and batched TPU runs keep the kernel wins.
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -143,39 +146,69 @@ def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
     return jnp.mean(errs)
 
 
-@partial(jax.jit, static_argnames=("config", "max_steps"))
-def _boptimize_fused(states, config: QuantConfig, refp, max_steps: int):
+@partial(jax.jit, static_argnames=("config", "cap"))
+def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
     """All scheduler steps for the whole batch as ONE XLA program (a host
     sync through the tunnel costs ~200 ms; a chunked multi-step batch run
     would otherwise pay it once per step per chunk). Mirrors the schedule
-    and RNG stream of the host-stepped loop below."""
+    and RNG stream of the single-image fused loop: a fori_loop over steps
+    with the schedule as lax.cond, so one compilation serves ANY step
+    budget up to the static buffer bound `cap` (the previous Python unroll
+    recompiled per distinct max_steps and grew the program linearly)."""
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
     b = jax.tree.leaves(states)[0].shape[0]
-    key = jax.random.key(config.seed)
-    errs = []
-    for step in range(max_steps):
-        if config.schedule == "channel":
-            is_random = False
-        else:
-            is_random = step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
+    key0 = jax.random.key(config.seed)
+    max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+
+    def step_fn(states, key, step):
         if config.nes:
             res = jax.vmap(lambda s, r: refine.sweep_nes(s, config, r))(
                 states, refp
             )
-        elif is_random:
+            return res.state, res.error, key
+        if config.schedule == "channel":
+            res = jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(
+                states, refp
+            )
+            return res.state, res.error, key
+
+        def do_random(operand):
+            states, key = operand
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
             res = jax.vmap(
                 lambda s, r, k: refine.sweep_random(s, config, r, k)
             )(states, refp, keys)
-        else:
+            return res.state, res.error, key
+
+        def do_channel(operand):
+            states, key = operand
             res = jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(
                 states, refp
             )
-        states = res.state
-        errs.append(jnp.mean(res.error))
-    return states, jnp.stack(errs)
+            return res.state, res.error, key
+
+        return jax.lax.cond(
+            step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
+            do_random,
+            do_channel,
+            (states, key),
+        )
+
+    def cond(carry):
+        _, _, local, _ = carry
+        return local < max_steps
+
+    def body(carry):
+        states, key, local, errs = carry
+        states, err, key = step_fn(states, key, local)
+        errs = errs.at[local].set(jnp.mean(err))
+        return states, key, local + 1, errs
+
+    init = (states, key0, jnp.int32(0), jnp.full((cap,), jnp.nan, jnp.float32))
+    states, _, n, errs = jax.lax.while_loop(cond, body, init)
+    return states, errs, n
 
 
 def batched_optimize(
@@ -192,8 +225,9 @@ def batched_optimize(
         max_steps = config.max_steps
 
     refp = brefp(states, config)
-    states, errs = _boptimize_fused(states, config, refp, max_steps)
-    return states, [float(e) for e in np.asarray(errs)]
+    cap = max(config.max_steps, max_steps)
+    states, errs, n = _boptimize_fused(states, config, refp, max_steps, cap)
+    return states, [float(e) for e in np.asarray(errs)[: int(n)]]
 
 
 def batched_run(

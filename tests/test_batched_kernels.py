@@ -1,0 +1,272 @@
+"""Image-batched kernel entry points: custom_vmap rules (interpret mode).
+
+Round 2's trace-time BatchTracer sniffing was blind under vmap-of-jit (a
+pjit traces its body with unbatched tracers, then the OUTER vmap applies
+the default pallas_call batching rule — the exact vmap-of-pallas
+pathology that hangs Mosaic). Round 3 gives every kernel entry a real
+`jax.custom_vmap` rule that folds the image axis into a leading kernel
+grid dimension. These tests drive the kernels in Pallas interpret mode on
+the CPU backend, through BOTH plain vmap and vmap-of-jit, and pin them
+against the XLA fallback implementations.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from snesimage_tpu.ops import pallas_prescreen as pp
+from snesimage_tpu.ops.pallas_dither import _ciede2000_planes
+
+
+N, B, H, W = 2, 3, 16, 16
+
+
+def _redmean_args(rng):
+    tg = jnp.asarray(rng.integers(0, 256, (N, 3, H, W)).astype(np.int32))
+    cand = jnp.asarray(rng.integers(0, 256, (N, B, 3)).astype(np.int32))
+    bva = jnp.asarray(
+        rng.integers(0, 150_000_000, (N, H, W)).astype(np.int32)
+    )
+    ml = jnp.asarray(rng.random((N, 3, H, W)).astype(np.float32))
+    return tg, cand, bva, ml
+
+
+def _redmean_want(tg, cand, bva, ml):
+    return np.stack(
+        [
+            np.asarray(
+                pp._pooled_wins_redmean_xla(tg[i], cand[i], bva[i], ml[i])
+            )
+            for i in range(N)
+        ]
+    )
+
+
+def test_pooled_wins_redmean_vmap(rng):
+    args = _redmean_args(rng)
+    got = jax.vmap(
+        lambda a, b, c, d: pp.pooled_wins_redmean(a, b, c, d, interpret=True)
+    )(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), _redmean_want(*args), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pooled_wins_redmean_vmap_of_jit(rng):
+    """The round-2 failure mode: the kernel call staged inside jit, then
+    vmapped from outside. The custom_vmap rule must still fold the image
+    axis into the kernel grid (the default pallas batching rule would
+    hang Mosaic on TPU)."""
+    args = _redmean_args(rng)
+    f = jax.jit(
+        lambda a, b, c, d: pp.pooled_wins_redmean(a, b, c, d, interpret=True)
+    )
+    got = jax.vmap(f)(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), _redmean_want(*args), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pooled_wins_redmean_unbatched_matches_xla(rng):
+    tg, cand, bva, ml = _redmean_args(rng)
+    got = pp.pooled_wins_redmean(tg[0], cand[0], bva[0], ml[0], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(pp._pooled_wins_redmean_xla(tg[0], cand[0], bva[0], ml[0])),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def _ciede_args(rng):
+    tlab = np.stack(
+        [
+            rng.random((N, H, W)).astype(np.float32) * 100.0,
+            rng.random((N, H, W)).astype(np.float32) * 160.0 - 80.0,
+            rng.random((N, H, W)).astype(np.float32) * 160.0 - 80.0,
+        ],
+        axis=1,
+    )
+    clab = np.stack(
+        [
+            rng.random((N, B)).astype(np.float32) * 100.0,
+            rng.random((N, B)).astype(np.float32) * 160.0 - 80.0,
+            rng.random((N, B)).astype(np.float32) * 160.0 - 80.0,
+        ],
+        axis=-1,
+    )
+    bvalm = (rng.random((N, H, W)).astype(np.float32) * 40.0).astype(
+        np.float32
+    )
+    adj = rng.integers(0, 2, (N, H, W)).astype(np.int32)
+    ml = rng.random((N, 3, H, W)).astype(np.float32)
+    return tuple(map(jnp.asarray, (tlab, clab, bvalm, adj, ml)))
+
+
+def _ciede_want(tlab, clab, bvalm, adj, ml):
+    pooled, dc = [], []
+    for i in range(N):
+        d = jnp.stack(
+            [
+                _ciede2000_planes(
+                    tlab[i, 0], tlab[i, 1], tlab[i, 2],
+                    clab[i, b, 0], clab[i, b, 1], clab[i, b, 2],
+                )
+                for b in range(B)
+            ]
+        )
+        pooled.append(np.asarray(pp._pooled_wins_xla(d, bvalm[i], adj[i], ml[i])))
+        dc.append(np.asarray(d))
+    return np.stack(pooled), np.stack(dc)
+
+
+def test_pooled_wins_ciede_vmap_of_jit(rng):
+    args = _ciede_args(rng)
+    f = jax.jit(
+        lambda t, c, bv, a, m: pp.pooled_wins_ciede(
+            t, c, bv, a, m, None, interpret=True
+        )
+    )
+    pooled, dcand = jax.vmap(f)(*args)
+    want_pooled, want_d = _ciede_want(*args)
+    np.testing.assert_allclose(np.asarray(dcand), want_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pooled), want_pooled, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_select_colors_vmap_of_jit(rng):
+    nk = 7
+    key = jnp.asarray(rng.integers(0, nk + 1, (N, H, W)).astype(np.int32))
+    tbl = jnp.asarray(rng.random((N, 3, nk)).astype(np.float32))
+    f = jax.jit(lambda k, t: pp.select_colors(k, t, interpret=True))
+    got = jax.vmap(f)(key, tbl)
+    want = np.stack(
+        [np.asarray(pp._select_colors_xla(key[i], tbl[i])) for i in range(N)]
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_metric_block_vmap_of_jit(rng):
+    """The fused multi-scale metric under an image batch must match the
+    per-image XLA feature path (scores via identical features)."""
+    from snesimage_tpu.ops.ssimulacra2 import (
+        fused_scale_feature_block,
+        reference_pyramid,
+        scale_features,
+    )
+
+    h = w = 32
+    refs = jnp.asarray(rng.random((N, h, w, 3)).astype(np.float32))
+    frames = jnp.asarray(rng.random((N, B, h, w, 3)).astype(np.float32))
+    refp = jax.vmap(reference_pyramid)(refs)
+    frames_cmaj = jnp.moveaxis(frames, -1, 2)
+
+    f = jax.jit(
+        lambda rp, fc: fused_scale_feature_block(rp, fc, 0, 3, interpret=True)
+    )
+    got = np.asarray(jax.vmap(f)(refp, frames_cmaj))
+
+    for i in range(N):
+        rp_i = jax.tree.map(lambda a: a[i], refp)
+        want = np.asarray(
+            scale_features(rp_i, frames[i], skip_scales=0, max_scale=3)
+        )
+        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-4)
+
+
+def _coarse_scenario(rng, h=128, w=128, b=5):
+    """Random but structurally valid inputs for the fused coarse kernels."""
+    from snesimage_tpu.ops.ssimulacra2 import reference_pyramid
+
+    ref = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    refp = reference_pyramid(ref)
+    flat_refs = tuple(
+        jnp.moveaxis(a, -1, -3) for s in range(2, 6) for a in refp[s]
+    )
+    sizes = [(h >> s) * (w >> s) for s in range(2, 6)]
+    lnc = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    ml = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    ds4_l = lnc.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
+    cand_lin = jnp.asarray(rng.random((b, 3)).astype(np.float32))
+    return refp, flat_refs, sizes, ml, ds4_l, cand_lin, h, w, b
+
+
+def test_fused_coarse_redmean_matches_composition(rng):
+    """The one-kernel coarse stage (wins + pooled sums + coarse frame +
+    scale-2..5 features) must match the three-stage XLA composition."""
+    from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_redmean
+    from snesimage_tpu.ops.ssimulacra2 import (
+        finalize_feature_sums,
+        fused_scale_feature_block,
+    )
+
+    refp, flat_refs, sizes, ml, ds4_l, cand_lin, h, w, b = _coarse_scenario(rng)
+    tg = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.int32))
+    cand8 = jnp.asarray(rng.integers(0, 256, (b, 3)).astype(np.int32))
+    bva = jnp.asarray(rng.integers(0, 150_000_000, (h, w)).astype(np.int32))
+
+    sums = coarse_feature_sums_redmean(
+        tg, cand8, cand_lin, bva, ml, ds4_l, flat_refs, interpret=True
+    )
+    got = np.asarray(finalize_feature_sums(sums, sizes, 2))
+
+    pooled = pp._pooled_wins_redmean_xla(tg, cand8, bva, ml)
+    frames = (
+        cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
+    ) / 16.0 + ds4_l[None]
+    want = np.asarray(fused_scale_feature_block(refp, frames, 2, 4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_coarse_ciede_matches_composition(rng):
+    from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_ciede
+    from snesimage_tpu.ops.ssimulacra2 import (
+        finalize_feature_sums,
+        fused_scale_feature_block,
+    )
+
+    refp, flat_refs, sizes, ml, ds4_l, cand_lin, h, w, b = _coarse_scenario(rng)
+    tlab = jnp.asarray(
+        np.stack(
+            [
+                rng.random((h, w)).astype(np.float32) * 100.0,
+                rng.random((h, w)).astype(np.float32) * 160.0 - 80.0,
+                rng.random((h, w)).astype(np.float32) * 160.0 - 80.0,
+            ]
+        )
+    )
+    clab = jnp.asarray(
+        np.stack(
+            [
+                rng.random((b,)).astype(np.float32) * 100.0,
+                rng.random((b,)).astype(np.float32) * 160.0 - 80.0,
+                rng.random((b,)).astype(np.float32) * 160.0 - 80.0,
+            ],
+            axis=-1,
+        )
+    )
+    bvalm = jnp.asarray(rng.random((h, w)).astype(np.float32) * 40.0)
+    adj = jnp.asarray(rng.integers(0, 2, (h, w)).astype(np.int32))
+
+    sums, dcand = coarse_feature_sums_ciede(
+        tlab, clab, cand_lin, bvalm, adj, ml, ds4_l, flat_refs,
+        interpret=True,
+    )
+    got = np.asarray(finalize_feature_sums(sums, sizes, 2))
+
+    d = jnp.stack(
+        [
+            _ciede2000_planes(
+                tlab[0], tlab[1], tlab[2], clab[i, 0], clab[i, 1], clab[i, 2]
+            )
+            for i in range(b)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(dcand), np.asarray(d), rtol=1e-4,
+                               atol=1e-4)
+    pooled = pp._pooled_wins_xla(d, bvalm, adj, ml)
+    frames = (
+        cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
+    ) / 16.0 + ds4_l[None]
+    want = np.asarray(fused_scale_feature_block(refp, frames, 2, 4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

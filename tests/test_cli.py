@@ -138,3 +138,18 @@ def test_presets():
 def test_parser_preset_flag():
     a = build_parser().parse_args(["a", "b", "--preset", "nes-compat"])
     assert a.preset == "nes-compat"
+
+
+def test_shard_paths_round_robin():
+    """Multi-host file sharding (docs/adr/0001-multihost.md): round-robin,
+    disjoint, complete, sizes within one of each other."""
+    from snesimage_tpu.batch_cli import shard_paths
+
+    paths = [f"img{i:03}.png" for i in range(10)]
+    shards = [shard_paths(paths, 3, k) for k in range(3)]
+    assert sorted(sum(shards, [])) == paths
+    assert {len(s) for s in shards} <= {3, 4}
+    assert shards[0] == ["img000.png", "img003.png", "img006.png", "img009.png"]
+    with pytest.raises(ValueError):
+        shard_paths(paths, 3, 3)
+    assert shard_paths(paths, 1, 0) == paths

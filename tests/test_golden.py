@@ -18,7 +18,9 @@ from snesimage_tpu.io.json_out import state_to_json
 
 GOLDEN = {
     False: "8fddf7c5a5e35231d504f2a66b97b4cb6df82f68ae9df014a16cee345189cdd3",
-    True: "99547622eb03d05dc314c2e0265f42726ce7786fbb47102bf1dfdbb8a71b5f7c",
+    # Dithered hash regenerated 2026-08-17 (round 3): the SSIMULACRA2
+    # weight-table audit fix changed candidate selections on this fixture.
+    True: "0b4d7567cdbca83c70792a60ca45d21724454adf10a756f5e6f29466418cda86",
 }
 
 
