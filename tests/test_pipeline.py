@@ -78,8 +78,14 @@ def test_channel_schedule_observed_path_matches_fast(small_image):
     e_fast = float(error_of(fast_state, cfg, refp))
     e_obs = float(error_of(obs_state, cfg, refp))
     assert e_fast <= start and e_obs <= start
-    assert abs(e_fast - e_obs) < 0.5, (e_fast, e_obs)
-    assert abs(fast_errs[-1] - obs_errs[-1]) < 0.5
+    # Round-3 strengthening (advisor): near-tie flips move at most a slot
+    # or two and ~1e-2 error; schedule bugs move whole error points.
+    diff = (
+        np.asarray(fast_state.palette) != np.asarray(obs_state.palette)
+    ).any(axis=-1).sum()
+    assert int(diff) <= 1, int(diff)
+    assert abs(e_fast - e_obs) < 0.05, (e_fast, e_obs)
+    assert abs(fast_errs[-1] - obs_errs[-1]) < 0.05
 
 
 def test_full_run_improves_error(small_image):

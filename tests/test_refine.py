@@ -165,7 +165,15 @@ def test_sweep_matches_per_slot_path(small_image):
     e_slow = float(error_of(slow, cfg, refp))
     e_start = float(error_of(st, cfg, refp))
     assert e_fast <= e_start and e_slow <= e_start
-    assert abs(e_fast - e_slow) < 0.5, (e_fast, e_slow)
+    # Round-3 strengthening (advisor): a genuine schedule/RNG/acceptance
+    # bug shifts many slots and whole error points; a legitimate f32
+    # near-tie flip shifts at most a slot or two and ~1e-2 error. On this
+    # fixture the paths are currently bit-identical.
+    diff = (
+        np.asarray(fast.state.palette) != np.asarray(slow.palette)
+    ).any(axis=-1).sum()
+    assert int(diff) <= 1, int(diff)
+    assert abs(e_fast - e_slow) < 0.05, (e_fast, e_slow)
 
     fast_c = sweep_channel(st, cfg, refp)
     slow = st
@@ -176,7 +184,11 @@ def test_sweep_matches_per_slot_path(small_image):
     e_fast = float(error_of(fast_c.state, cfg, refp))
     e_slow = float(error_of(slow, cfg, refp))
     assert e_fast <= e_start and e_slow <= e_start
-    assert abs(e_fast - e_slow) < 0.5, (e_fast, e_slow)
+    diff = (
+        np.asarray(fast_c.state.palette) != np.asarray(slow.palette)
+    ).any(axis=-1).sum()
+    assert int(diff) <= 1, int(diff)
+    assert abs(e_fast - e_slow) < 0.05, (e_fast, e_slow)
 
 
 def test_sweep_nes_matches_per_slot(small_image):
