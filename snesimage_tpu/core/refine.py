@@ -75,9 +75,12 @@ from snesimage_tpu.ops.ssimulacra2 import (
 _BIG = jnp.float32(3.0e38)
 
 
+@jax.jit
 def make_reference_pyramid(state: QuantState):
     """Candidate-independent metric precomputation for this image.
-    Passes 8-bit values so the metric's exact sRGB-decode LUT applies."""
+    Passes 8-bit values so the metric's exact sRGB-decode LUT applies.
+    Jitted: the eager pyramid (~20 separate op dispatches) measured
+    ~200 ms of tunnel dispatch latency on the axon backend."""
     return reference_pyramid(state.rgb)
 
 
@@ -132,6 +135,7 @@ def error_of(state: QuantState, config: QuantConfig, refp) -> jax.Array:
     return _error_of_frame(refp, rendered)
 
 
+@partial(jax.jit, static_argnames=("config",))
 def frame_error_fused(state: QuantState, config: QuantConfig, refp) -> jax.Array:
     """Exact full-frame error through the fused metric kernel (B=1).
 

@@ -286,14 +286,17 @@ def test_stop_rule_survives_weak_random_steps():
     st, errs = pipeline.optimize(st, cfg)
 
     # Precondition (guards against fixture drift): an early successive
-    # improvement genuinely is below tol while a later step improves more.
+    # improvement genuinely is below tol while a later step improves by
+    # several times tol — the case where the old successive-step rule
+    # stops early and the cycle-aware rule must not.
     deltas = [a - b for a, b in zip(errs, errs[1:])]
     assert min(deltas[:3]) < cfg.converge_tol, deltas
-    assert max(deltas) > 5.0, deltas
+    assert max(deltas) > 6 * cfg.converge_tol, deltas
     # The run must have survived past the weak random steps to the
-    # channel step (step 4 under the reference schedule).
+    # channel step (step 4 under the reference schedule) and realized
+    # its improvement.
     assert len(errs) >= 5, errs
-    assert errs[-1] < 160.0, errs
+    assert errs[-1] < errs[0] - 6 * cfg.converge_tol, errs
 
 
 def test_config_guard_perceptual_prescreen_full():
