@@ -156,13 +156,16 @@ def _optimize_fused(
     stream (fold_in(seed, start_step), split-per-random-step) mirror
     `optimize` exactly.
 
-    Stop rule (round-3 semantics, see `optimize`): after each step an
-    EXACT post-step full-frame error is computed (fused metric, B=1) and
-    compared against the exact error one full schedule cycle ago — 1 step
-    for the channel/NES schedules, SCHEDULE_CYCLE (5) for the reference
-    schedule, so a single weak random step inside a cycle can never fire
-    the stop while the channel step still improves. Logged per-step
-    errors stay the reference-format last-slot values.
+    Stop rule (round-3 semantics, see `optimize`): every slot visit
+    carries the EXACT error of its resulting state (refine._pick — the
+    accepted candidate's exact two-level score, or the carried baseline
+    on reject), so a sweep's final error IS the exact post-step
+    full-frame error. It is compared against the exact error one full
+    schedule cycle ago — 1 step for the channel/NES schedules,
+    SCHEDULE_CYCLE (5) for the reference schedule, so a single weak
+    random step inside a cycle can never fire the stop while the channel
+    step still improves. Logged per-step errors stay the reference-format
+    last-slot values (identical to the carried exact error).
 
     `max_steps` and `start_step` are DYNAMIC (one compilation serves any
     step budget up to the static buffer bound `cap`, so a short warm-up
@@ -172,53 +175,54 @@ def _optimize_fused(
     max_steps = jnp.minimum(jnp.int32(max_steps), cap)
     cycle = _stop_cycle(config)
 
-    def step_fn(st, key, step):
+    def step_fn(st, key, step, cur_err):
         if config.nes:
-            res = sweep_nes(st, config, refp)
+            res = sweep_nes(st, config, refp, cur_err)
             return res.state, res.error, key
         if config.schedule == "channel":
-            res = sweep_channel(st, config, refp)
+            res = sweep_channel(st, config, refp, cur_err)
             return res.state, res.error, key
         def do_random(operand):
-            st, key = operand
+            st, key, cur_err = operand
             key, sub = jax.random.split(key)
-            res = sweep_random(st, config, refp, sub)
+            res = sweep_random(st, config, refp, sub, cur_err)
             return res.state, res.error, key
         def do_channel(operand):
-            st, key = operand
-            res = sweep_channel(st, config, refp)
+            st, key, cur_err = operand
+            res = sweep_channel(st, config, refp, cur_err)
             return res.state, res.error, key
         return jax.lax.cond(
             step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
             do_random,
             do_channel,
-            (st, key),
+            (st, key, cur_err),
         )
 
     def cond(carry):
-        _, _, local, _, _, done = carry
+        _, _, local, _, _, _, done = carry
         return (local < max_steps) & ~done
 
     def body(carry):
-        st, key, local, window, errs, _ = carry
-        st, err, key = step_fn(st, key, start_step + local)
-        errs = errs.at[local].set(err)
-        full = refine.frame_error_fused(st, config, refp)
+        st, key, local, cur, window, errs, _ = carry
+        st, full, key = step_fn(st, key, start_step + local, cur)
+        errs = errs.at[local].set(full)
         slot = local % cycle
         prev = jax.lax.dynamic_index_in_dim(window, slot, 0, keepdims=False)
         done = (tol > 0) & (prev - full < tol)
         window = jax.lax.dynamic_update_index_in_dim(window, full, slot, 0)
-        return st, key, local + 1, window, errs, done
+        return st, key, local + 1, full, window, errs, done
 
+    full0 = refine.frame_error_fused(state, config, refp)
     init = (
         state,
         key0,
         jnp.int32(0),
+        full0,
         jnp.full((cycle,), jnp.inf, jnp.float32),
         jnp.full((cap,), jnp.inf, jnp.float32),
         jnp.bool_(False),
     )
-    st, _, n, _, errs, _ = jax.lax.while_loop(cond, body, init)
+    st, _, n, _, _, errs, _ = jax.lax.while_loop(cond, body, init)
     return st, errs, n
 
 

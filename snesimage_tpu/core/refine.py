@@ -242,7 +242,13 @@ def _undithered_machinery(
         i) wins on d_c < best_val, or on ties when i precedes best_idx."""
         return (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
 
-    def errors(refp, cand5, allow_prescreen=True):
+    def errors(refp, cand5, allow_prescreen=True, carried_base=False):
+        """Per-candidate errors. With ``carried_base=True`` the batch
+        contains NO baseline row: the caller carries the exact error of
+        the current state across slot visits (see _slot_channel), so the
+        current color is never re-scored — this drops one frame from
+        every scoring stage (the coarse kernel, the scale-1 rank, and the
+        scale-0 finalists)."""
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
@@ -258,8 +264,9 @@ def _undithered_machinery(
 
         b = cand8.shape[0]
         k = config.prescreen
+        base_rows = 0 if carried_base else 1
         h, w = target_u8.shape[:2]
-        if k and b > k + 1 and allow_prescreen and h % 4 == 0 and w % 4 == 0:
+        if k and b > k + base_rows and allow_prescreen and h % 4 == 0 and w % 4 == 0:
             # Two-stage scoring with EXACT quarter-resolution coarse
             # frames: the scale-2 frame of a two-way select decomposes as
             #   ds4(where(m, c, L)) = ds4(L) + (c*pool4(m) - pool4(m*L))/16
@@ -366,8 +373,11 @@ def _undithered_machinery(
                     refp, coarse_frames, 2, NUM_SCALES - 2
                 )  # (B, 6, 3, 6); scales 0-1 zero
             coarse = 100.0 - score_from_features(feats_c)
-            _, top = jax.lax.top_k(-coarse[1:], k)
-            sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
+            if carried_base:
+                _, sel = jax.lax.top_k(-coarse, k)
+            else:
+                _, top = jax.lax.top_k(-coarse[1:], k)
+                sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
             if dcand is not None:
                 # Finalist win masks from the distance planes the pooled
                 # kernel already computed — saves 9 more CIEDE2000 planes
@@ -388,20 +398,24 @@ def _undithered_machinery(
                 )
             frames = build(sel)
             m = config.prescreen_full
-            if m and m + 1 < k + 1:
+            if m and m < k:
                 # Second level: rank the finalists by their EXACT
                 # scale-1..5 score — the metric kernel downsamples the
                 # full-resolution frames in-kernel (pre_ds=1), so no
                 # half-resolution copies exist — then run scale 0 (~4/5
-                # of a finalist's metric cost) only for the top-m plus
-                # the baseline, on freshly built frames (rebuilding two
-                # frames is cheaper than gathering from `frames`).
+                # of a finalist's metric cost) only for the top-m (plus
+                # the in-batch baseline in legacy mode), on freshly built
+                # frames (rebuilding two frames is cheaper than gathering
+                # from `frames`).
                 feats_1 = fused_scale_feature_block(
                     refp, frames, 1, 1, pre_ds=1
                 )
                 rank1 = 100.0 - score_from_features(feats_1 + feats_c[sel])
-                _, top2 = jax.lax.top_k(-rank1[1:], m)
-                sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
+                if carried_base:
+                    _, sel2 = jax.lax.top_k(-rank1, m)
+                else:
+                    _, top2 = jax.lax.top_k(-rank1[1:], m)
+                    sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
                 selF = sel[sel2]
                 feats_0 = fused_scale_feature_block(refp, build(selF), 0, 1)
                 full = 100.0 - score_from_features(
@@ -450,7 +464,7 @@ def _candidate_errors_undithered(
 
 def _candidate_errors_dithered(
     state: QuantState, config: QuantConfig, refp, p, i, cand5,
-    allow_prescreen=True,
+    allow_prescreen=True, carried_base=False,
 ):
     """Dithered candidate evaluation: fused wavefront remap per candidate
     (Pallas on TPU / XLA scan fallback), then one explicit metric batch."""
@@ -488,7 +502,8 @@ def _candidate_errors_dithered(
     frames_cmaj = jnp.moveaxis(frames, -1, 1)  # (B, 3, H, W)
     b = frames.shape[0]
     k = config.prescreen
-    if k and b > k + 1 and allow_prescreen:
+    base_rows = 0 if carried_base else 1
+    if k and b > k + base_rows and allow_prescreen:
         # Same two-stage scoring as the undithered path (validated
         # zero-regret on dithered candidate batches too); the coarse rank
         # downsamples the full-resolution frames inside the fused metric
@@ -497,16 +512,22 @@ def _candidate_errors_dithered(
             refp, frames_cmaj, 2, NUM_SCALES - 2, pre_ds=2
         )
         coarse = 100.0 - score_from_features(feats_c)
-        _, top = jax.lax.top_k(-coarse[1:], k)
-        sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
+        if carried_base:
+            _, sel = jax.lax.top_k(-coarse, k)
+        else:
+            _, top = jax.lax.top_k(-coarse[1:], k)
+            sel = jnp.concatenate([jnp.zeros(1, top.dtype), top + 1])
         fsel = frames_cmaj[sel]
         m = config.prescreen_full
-        if m and m + 1 < k + 1:
+        if m and m < k:
             # Two-level finalists, as in the undithered path.
             feats_1 = fused_scale_feature_block(refp, fsel, 1, 1, pre_ds=1)
             rank1 = 100.0 - score_from_features(feats_1 + feats_c[sel])
-            _, top2 = jax.lax.top_k(-rank1[1:], m)
-            sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
+            if carried_base:
+                _, sel2 = jax.lax.top_k(-rank1, m)
+            else:
+                _, top2 = jax.lax.top_k(-rank1[1:], m)
+                sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
             selF = sel[sel2]
             feats_0 = fused_scale_feature_block(
                 refp, frames_cmaj[selF], 0, 1
@@ -552,9 +573,10 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
     updated value (None-safe for the dithered path, which has no cache)."""
     if config.dither:
 
-        def errors(refp, cand5, allow_prescreen=True):
+        def errors(refp, cand5, allow_prescreen=True, carried_base=False):
             return _candidate_errors_dithered(
-                state, config, refp, p, i, cand5, allow_prescreen
+                state, config, refp, p, i, cand5, allow_prescreen,
+                carried_base,
             )
 
         def apply(color5):
@@ -584,56 +606,75 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
     return errors, apply, new_cache
 
 
-def _slot_random(
-    state: QuantState, config: QuantConfig, refp, key, p, i, cache=None
+def _pick(
+    errors, apply, new_cache, refp, cand5, current, base_err
 ):
-    """64 uniform-random 5-bit candidates; keep the best only if it beats
-    the current error (src/lib.rs:191-240).
+    """Shared accept/apply tail for the strict-less-than slot visits.
 
-    The baseline (current color) is evaluated inside the same batch as the
-    candidates, mirroring the reference's identical-code-path baseline —
-    this makes the strict-less-than acceptance robust to batched-vs-single
-    ulp differences."""
-    current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
-    rand5 = jax.random.randint(key, (config.random_trials, 3), 0, 32, dtype=jnp.int32)
-    cand5 = jnp.concatenate([current[None, :], rand5], axis=0)
-    errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
-    errs = errors(refp, cand5)
-    base_err = errs[0]
-    bidx = jnp.argmin(errs[1:])
-    bmin = errs[1:][bidx]
-    accept = bmin < base_err
-    color = jnp.where(accept, rand5[bidx], current)
-    res = SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
+    With ``base_err=None`` (legacy / public per-slot API) the baseline is
+    evaluated inside the same batch as the candidates, mirroring the
+    reference's identical-code-path baseline — robust to batched-vs-
+    single ulp differences. With a carried ``base_err`` (the on-device
+    sweeps) the baseline row is dropped from every scoring stage and the
+    exact error of the current state is carried across visits instead;
+    the ``changed`` guard keeps tiny cross-decomposition f32 noise from
+    ever drifting the carried error on a phantom re-accept of the
+    current color."""
+    if base_err is None:
+        errs = errors(refp, jnp.concatenate([current[None, :], cand5], axis=0))
+        base = errs[0]
+        cand_errs = errs[1:]
+    else:
+        base = base_err
+        cand_errs = errors(refp, cand5, carried_base=True)
+    bidx = jnp.argmin(cand_errs)
+    bmin = cand_errs[bidx]
+    accept = bmin < base
+    color = jnp.where(accept, cand5[bidx], current)
+    changed = accept & jnp.any(color != current)
+    err_out = jnp.where(changed, jnp.minimum(bmin, base), base)
+    res = SlotResult(apply(color), err_out, changed)
     return res, new_cache(color)
 
 
+def _slot_random(
+    state: QuantState, config: QuantConfig, refp, key, p, i, cache=None,
+    base_err=None,
+):
+    """64 uniform-random 5-bit candidates; keep the best only if it beats
+    the current error (src/lib.rs:191-240). Baseline handling: _pick."""
+    current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
+    rand5 = jax.random.randint(key, (config.random_trials, 3), 0, 32, dtype=jnp.int32)
+    errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
+    return _pick(errors, apply, new_cache, refp, rand5, current, base_err)
+
+
 def _slot_channel(
-    state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None
+    state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None,
+    base_err=None,
 ):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
-    Baseline evaluated in-batch (see _slot_random)."""
+    Baseline handling: _pick (the current color is among the 32 sweep
+    values, so the carried-base batch is exactly the 32-value sweep)."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     onehot = (jnp.arange(3) == channel).astype(jnp.int32)
     values = jnp.arange(32, dtype=jnp.int32)
     sweep5 = (
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
-    cand5 = jnp.concatenate([current[None, :], sweep5], axis=0)
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
-    errs = errors(refp, cand5)
-    base_err = errs[0]
-    bidx = jnp.argmin(errs[1:])
-    bmin = errs[1:][bidx]
-    accept = bmin < base_err
-    color = jnp.where(accept, sweep5[bidx], current)
-    res = SlotResult(apply(color), jnp.minimum(bmin, base_err), accept)
-    return res, new_cache(color)
+    return _pick(errors, apply, new_cache, refp, sweep5, current, base_err)
 
 
-def _slot_nes(state: QuantState, config: QuantConfig, refp, p, i, cache=None):
+def _slot_nes(
+    state: QuantState, config: QuantConfig, refp, p, i, cache=None,
+    base_err=None,
+):
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
     with the best NES color (best_error starts at MAX, src/lib.rs:242-284).
+    `base_err` is accepted for signature uniformity but unused: the
+    always-replace rule never compares against the current error, and the
+    exact 56-candidate scores come from the full (prescreen-free) path.
 
     Prescreening is disabled here: under always-replace semantics a coarse
     misranking could select a color *worse* than both the current entry and
@@ -693,49 +734,69 @@ def _init_cache(state: QuantState, config: QuantConfig):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def sweep_random(state: QuantState, config: QuantConfig, refp, key) -> SlotResult:
+def sweep_random(
+    state: QuantState, config: QuantConfig, refp, key, base_err=None
+) -> SlotResult:
     """One full random step: every (palette, index) slot once
-    (src/lib.rs:888-932, steps with step % 5 < 4)."""
+    (src/lib.rs:888-932, steps with step % 5 < 4).
+
+    `base_err` is the exact error of the incoming state (carried across
+    sweeps by the fused optimize loop); None computes it here. Each visit
+    then carries the exact post-visit error forward, so no visit ever
+    re-scores the current color as an in-batch baseline."""
     s = config.subpalette_size
+    if base_err is None:
+        base_err = frame_error_fused(state, config, refp)
 
     def body(k, carry):
-        state, key, _, cache = carry
+        state, key, err, cache = carry
         key, sub = jax.random.split(key)
-        res, cache = _slot_random(state, config, refp, sub, k // s, k % s, cache)
+        res, cache = _slot_random(
+            state, config, refp, sub, k // s, k % s, cache, err
+        )
         return res.state, key, res.error, cache
 
     n = config.subpalette_count * s
     state, _, err, _ = jax.lax.fori_loop(
-        0, n, body, (state, key, jnp.float32(jnp.inf), _init_cache(state, config))
+        0, n, body, (state, key, base_err, _init_cache(state, config))
     )
     return SlotResult(state, err, jnp.bool_(True))
 
 
 @partial(jax.jit, static_argnames=("config",))
-def sweep_channel(state: QuantState, config: QuantConfig, refp) -> SlotResult:
+def sweep_channel(
+    state: QuantState, config: QuantConfig, refp, base_err=None
+) -> SlotResult:
     """One full channel step: every slot visited for channels 0,1,2 in
-    sequence (src/lib.rs:917-923)."""
+    sequence (src/lib.rs:917-923). Carried baseline: see sweep_random."""
     s = config.subpalette_size
+    if base_err is None:
+        base_err = frame_error_fused(state, config, refp)
 
     def body(k, carry):
-        state, _, cache = carry
+        state, err, cache = carry
         p = k // (s * 3)
         i = (k // 3) % s
         ch = k % 3
-        res, cache = _slot_channel(state, config, refp, p, i, ch, cache)
+        res, cache = _slot_channel(state, config, refp, p, i, ch, cache, err)
         return res.state, res.error, cache
 
     n = config.subpalette_count * s * 3
     state, err, _ = jax.lax.fori_loop(
-        0, n, body, (state, jnp.float32(jnp.inf), _init_cache(state, config))
+        0, n, body, (state, base_err, _init_cache(state, config))
     )
     return SlotResult(state, err, jnp.bool_(True))
 
 
 @partial(jax.jit, static_argnames=("config",))
-def sweep_nes(state: QuantState, config: QuantConfig, refp) -> SlotResult:
+def sweep_nes(
+    state: QuantState, config: QuantConfig, refp, base_err=None
+) -> SlotResult:
     """One full NES step: every slot NES-swept once (the reference's
-    triple-visit counter quirk is coalesced; see core/pipeline.py)."""
+    triple-visit counter quirk is coalesced; see core/pipeline.py).
+    NES visits never use a baseline (always-replace); `base_err` is
+    accepted for scheduler uniformity."""
+    del base_err
     s = config.subpalette_size
 
     def body(k, carry):

@@ -161,53 +161,62 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
     key0 = jax.random.key(config.seed)
     max_steps = jnp.minimum(jnp.int32(max_steps), cap)
 
-    def step_fn(states, key, step):
+    def step_fn(states, key, step, cur):
         if config.nes:
-            res = jax.vmap(lambda s, r: refine.sweep_nes(s, config, r))(
-                states, refp
-            )
+            res = jax.vmap(
+                lambda s, r, e: refine.sweep_nes(s, config, r, e)
+            )(states, refp, cur)
             return res.state, res.error, key
         if config.schedule == "channel":
-            res = jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(
-                states, refp
-            )
+            res = jax.vmap(
+                lambda s, r, e: refine.sweep_channel(s, config, r, e)
+            )(states, refp, cur)
             return res.state, res.error, key
 
         def do_random(operand):
-            states, key = operand
+            states, key, cur = operand
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
             res = jax.vmap(
-                lambda s, r, k: refine.sweep_random(s, config, r, k)
-            )(states, refp, keys)
+                lambda s, r, k, e: refine.sweep_random(s, config, r, k, e)
+            )(states, refp, keys, cur)
             return res.state, res.error, key
 
         def do_channel(operand):
-            states, key = operand
-            res = jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(
-                states, refp
-            )
+            states, key, cur = operand
+            res = jax.vmap(
+                lambda s, r, e: refine.sweep_channel(s, config, r, e)
+            )(states, refp, cur)
             return res.state, res.error, key
 
         return jax.lax.cond(
             step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
             do_random,
             do_channel,
-            (states, key),
+            (states, key, cur),
         )
 
     def cond(carry):
-        _, _, local, _ = carry
+        _, _, local, _, _ = carry
         return local < max_steps
 
     def body(carry):
-        states, key, local, errs = carry
-        states, err, key = step_fn(states, key, local)
+        states, key, local, cur, errs = carry
+        states, err, key = step_fn(states, key, local, cur)
         errs = errs.at[local].set(jnp.mean(err))
-        return states, key, local + 1, errs
+        return states, key, local + 1, err, errs
 
-    init = (states, key0, jnp.int32(0), jnp.full((cap,), jnp.nan, jnp.float32))
-    states, _, n, errs = jax.lax.while_loop(cond, body, init)
+    # Exact per-image errors carried across sweeps (refine._pick): each
+    # visit compares candidates against the carried value instead of
+    # re-scoring the current color in-batch.
+    cur0 = jax.vmap(
+        lambda s, r: refine.frame_error_fused(s, config, r)
+    )(states, refp)
+    init = (
+        states, key0, jnp.int32(0), cur0,
+        jnp.full((cap,), jnp.nan, jnp.float32),
+    )
+    states, _, n, _, errs = jax.lax.while_loop(cond, body, init)
     return states, errs, n
 
 

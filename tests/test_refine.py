@@ -269,3 +269,33 @@ def test_prescreen_matches_full_selection(small_image, rng):
         np.testing.assert_array_equal(
             np.asarray(full.state.palette), np.asarray(pre2.state.palette)
         )
+
+
+def test_carried_base_matches_legacy(small_image):
+    """A slot visit with a carried exact baseline (the on-device sweeps'
+    mode: NO baseline row in the candidate batch, acceptance against the
+    carried error of the current state) must pick the same color as the
+    legacy in-batch-baseline visit across prescreen modes, and the error
+    it carries forward must equal the exact error of its resulting state."""
+    from snesimage_tpu.core.refine import _slot_channel, frame_error_fused
+
+    cases = [
+        ({}, [(0, 1, 0), (1, 2, 1), (1, 3, 2)]),
+        ({"prescreen": 8}, [(0, 1, 0), (1, 2, 1), (1, 3, 2)]),
+        ({"prescreen": 8, "prescreen_full": 3}, [(0, 1, 0), (1, 3, 2)]),
+        ({"dither": True, "prescreen": 8, "prescreen_full": 3}, [(1, 2, 0)]),
+    ]
+    for kw, slots in cases:
+        st, cfg = _prepped(small_image, **kw)
+        refp = make_reference_pyramid(st)
+        base = frame_error_fused(st, cfg, refp)
+        for p, i, ch in slots:
+            legacy, _ = _slot_channel(st, cfg, refp, p, i, ch)
+            carried, _ = _slot_channel(st, cfg, refp, p, i, ch, None, base)
+            np.testing.assert_array_equal(
+                np.asarray(legacy.state.palette),
+                np.asarray(carried.state.palette),
+                err_msg=str((kw, p, i, ch)),
+            )
+            exact = float(frame_error_fused(carried.state, cfg, refp))
+            assert abs(float(carried.error) - exact) < 2e-2, (kw, p, i, ch)
