@@ -245,11 +245,23 @@ def _optimize_fused_summary(
 ):
     """`_optimize_fused` plus the final exact frame error, with the scalar
     results packed into ONE (cap+2,) vector = [step_errors, n_steps,
-    final_error] so the host fetches everything in a single sync."""
+    final_error] so the host fetches everything in a single sync.
+
+    With carried exact errors (refine._pick) the last step's error IS the
+    exact final frame error, so it is reused; a fresh evaluation only
+    runs for zero-step budgets. The reused value can differ from a
+    recomputation by f32 rounding (~1e-5 relative — same math, different
+    XLA program), which is below every logging/stop-rule tolerance."""
     state, errs, n = _optimize_fused(
         state, config, refp, max_steps, start_step, cap
     )
-    final = refine.frame_error_fused(state, config, refp)
+    final = jax.lax.cond(
+        n > 0,
+        lambda: jax.lax.dynamic_index_in_dim(
+            errs, jnp.maximum(n - 1, 0), 0, keepdims=False
+        ),
+        lambda: refine.frame_error_fused(state, config, refp),
+    )
     summary = jnp.concatenate(
         [errs, jnp.stack([n.astype(jnp.float32), final])]
     )
@@ -278,7 +290,9 @@ def run_fused(
     state = new_state(source_rgba, config)
     if max_steps is None:
         max_steps = config.max_steps
-    cap = max(config.max_steps, max_steps)
+    # cap >= 1 so the step-error buffer is indexable at trace time even
+    # for zero-step budgets (the while_loop body is traced regardless).
+    cap = max(config.max_steps, max_steps, 1)
     t0 = time.perf_counter()
     state, refp = _prep_fused(state, config)
     state, summary = _optimize_fused_summary(
