@@ -120,8 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--schedule", choices=["reference", "channel"], default="reference",
         help="Step schedule: the reference's 4-random/1-channel cycle, or "
-        "pure channel sweeps (coordinate descent; converges faster and to "
-        "a lower error — see BENCHMARKS.md)",
+        "pure channel sweeps (coordinate descent; converges several times "
+        "faster — pair with --channel-explore to escape its local minima; "
+        "see BENCHMARKS.md)",
+    )
+    p.add_argument(
+        "--channel-explore", type=int, default=0, metavar="E",
+        help="Add E random full-RGB candidates to every channel visit's "
+        "32-value sweep (escapes coordinate-descent local minima at a "
+        "fraction of a random step's cost; 0 = deterministic sweeps)",
     )
     p.add_argument(
         "--trials", type=int, default=64,
@@ -213,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                 converge_tol=args.tol,
                 random_trials=args.trials,
                 schedule=args.schedule,
+                channel_explore=args.channel_explore,
                 prescreen=args.prescreen,
                 prescreen_full=args.prescreen_full,
             )

@@ -66,10 +66,21 @@ class QuantConfig:
     prescreen_full: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
-    # (coordinate descent) — measured to converge faster AND to a lower
-    # error than the reference schedule (see BENCHMARKS.md). NES mode
-    # always uses NES sweeps regardless.
+    # (coordinate descent) — measured to converge several times faster
+    # than the reference schedule; without `channel_explore` it can stop
+    # in a coordinate-descent local minimum a few error points above the
+    # reference schedule's plateau (see BENCHMARKS.md). NES mode always
+    # uses NES sweeps regardless.
     schedule: str = "reference"
+    # Channel-descent exploration (extension, only with
+    # schedule="channel"): append this many uniform-random full-RGB
+    # candidates to every channel visit's 32-value sweep. The joint moves
+    # let coordinate descent escape single-channel (Voronoi) equilibria
+    # the reference schedule escapes with its random steps, at a fraction
+    # of their cost — acceptance stays strict-less-than, so per-visit
+    # quality can only improve. 0 keeps the channel schedule
+    # deterministic.
+    channel_explore: int = 0
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:
@@ -82,6 +93,8 @@ class QuantConfig:
             raise ValueError("schedule must be 'reference' or 'channel'")
         if self.prescreen_full < 0:
             raise ValueError("prescreen_full must be >= 0")
+        if self.channel_explore < 0:
+            raise ValueError("channel_explore must be >= 0")
         if self.perceptual_palettes and 0 < self.prescreen_full < 4:
             # Measured (BENCHMARKS.md): the scale-1 finalist rank under
             # CIEDE2000 misses up to ~1.2 error of improvements at

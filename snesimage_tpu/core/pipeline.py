@@ -175,12 +175,17 @@ def _optimize_fused(
     max_steps = jnp.minimum(jnp.int32(max_steps), cap)
     cycle = _stop_cycle(config)
 
+    explore = config.channel_explore > 0
+
     def step_fn(st, key, step, cur_err):
         if config.nes:
             res = sweep_nes(st, config, refp, cur_err)
             return res.state, res.error, key
         if config.schedule == "channel":
-            res = sweep_channel(st, config, refp, cur_err)
+            sub = None
+            if explore:
+                key, sub = jax.random.split(key)
+            res = sweep_channel(st, config, refp, cur_err, key=sub)
             return res.state, res.error, key
         def do_random(operand):
             st, key, cur_err = operand
@@ -189,7 +194,10 @@ def _optimize_fused(
             return res.state, res.error, key
         def do_channel(operand):
             st, key, cur_err = operand
-            res = sweep_channel(st, config, refp, cur_err)
+            sub = None
+            if explore:
+                key, sub = jax.random.split(key)
+            res = sweep_channel(st, config, refp, cur_err, key=sub)
             return res.state, res.error, key
         return jax.lax.cond(
             step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
@@ -363,7 +371,9 @@ def optimize(
         step = start_step + local
         is_random = _is_random_step(config, step)
         step_key = None
-        if is_random and not config.nes:
+        if not config.nes and (
+            is_random or config.channel_explore > 0
+        ):
             key, step_key = jax.random.split(key)
 
         if on_slot is None:
@@ -374,7 +384,7 @@ def optimize(
             elif is_random:
                 res = sweep_random(state, config, refp, step_key)
             else:
-                res = sweep_channel(state, config, refp)
+                res = sweep_channel(state, config, refp, key=step_key)
             state = res.state
             err = float(res.error)
         else:
@@ -396,8 +406,12 @@ def optimize(
                         state, config, refp, sub, visit.palette, visit.index
                     )
                 else:
+                    sub = None
+                    if config.channel_explore > 0:
+                        step_key, sub = jax.random.split(step_key)
                     res = refine_slot_channel(
-                        state, config, refp, visit.palette, visit.index, visit.channel
+                        state, config, refp, visit.palette, visit.index,
+                        visit.channel, key=sub,
                     )
                 state = res.state
                 err = float(res.error)

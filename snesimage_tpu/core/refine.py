@@ -651,17 +651,28 @@ def _slot_random(
 
 def _slot_channel(
     state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None,
-    base_err=None,
+    base_err=None, key=None,
 ):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
     Baseline handling: _pick (the current color is among the 32 sweep
-    values, so the carried-base batch is exactly the 32-value sweep)."""
+    values, so the carried-base batch is exactly the 32-value sweep).
+
+    With `config.channel_explore > 0` and a `key`, `channel_explore`
+    uniform-random full-RGB candidates join the 32-value sweep
+    (extension; see QuantConfig.channel_explore): the joint moves let
+    coordinate descent escape single-channel equilibria. Acceptance is
+    unchanged (strict-less-than against the carried exact error)."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     onehot = (jnp.arange(3) == channel).astype(jnp.int32)
     values = jnp.arange(32, dtype=jnp.int32)
     sweep5 = (
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
+    if key is not None and config.channel_explore > 0:
+        rand5 = jax.random.randint(
+            key, (config.channel_explore, 3), 0, 32, dtype=jnp.int32
+        )
+        sweep5 = jnp.concatenate([sweep5, rand5], axis=0)
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     return _pick(errors, apply, new_cache, refp, sweep5, current, base_err)
 
@@ -697,8 +708,10 @@ def refine_slot_random(state, config: QuantConfig, refp, key, p, i) -> SlotResul
 
 
 @partial(jax.jit, static_argnames=("config",))
-def refine_slot_channel(state, config: QuantConfig, refp, p, i, channel) -> SlotResult:
-    return _slot_channel(state, config, refp, p, i, channel)[0]
+def refine_slot_channel(
+    state, config: QuantConfig, refp, p, i, channel, key=None
+) -> SlotResult:
+    return _slot_channel(state, config, refp, p, i, channel, key=key)[0]
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -765,25 +778,38 @@ def sweep_random(
 
 @partial(jax.jit, static_argnames=("config",))
 def sweep_channel(
-    state: QuantState, config: QuantConfig, refp, base_err=None
+    state: QuantState, config: QuantConfig, refp, base_err=None, key=None
 ) -> SlotResult:
     """One full channel step: every slot visited for channels 0,1,2 in
-    sequence (src/lib.rs:917-923). Carried baseline: see sweep_random."""
+    sequence (src/lib.rs:917-923). Carried baseline: see sweep_random.
+
+    With `config.channel_explore > 0` and a `key`, every visit draws
+    that many extra random full-RGB candidates (split-per-visit stream,
+    same discipline as sweep_random)."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
+    explore = key is not None and config.channel_explore > 0
 
     def body(k, carry):
-        state, err, cache = carry
+        state, err, cache, key = carry
         p = k // (s * 3)
         i = (k // 3) % s
         ch = k % 3
-        res, cache = _slot_channel(state, config, refp, p, i, ch, cache, err)
-        return res.state, res.error, cache
+        sub = None
+        if explore:
+            key, sub = jax.random.split(key)
+        res, cache = _slot_channel(
+            state, config, refp, p, i, ch, cache, err, key=sub
+        )
+        return res.state, res.error, cache, key
 
+    if key is None:
+        # keep the carry a fixed pytree; unused when explore is off
+        key = jax.random.key(0)
     n = config.subpalette_count * s * 3
-    state, err, _ = jax.lax.fori_loop(
-        0, n, body, (state, base_err, _init_cache(state, config))
+    state, err, _, _ = jax.lax.fori_loop(
+        0, n, body, (state, base_err, _init_cache(state, config), key)
     )
     return SlotResult(state, err, jnp.bool_(True))
 

@@ -299,3 +299,48 @@ def test_carried_base_matches_legacy(small_image):
             )
             exact = float(frame_error_fused(carried.state, cfg, refp))
             assert abs(float(carried.error) - exact) < 2e-2, (kw, p, i, ch)
+
+
+def test_channel_explore_sweep(small_image):
+    """channel_explore: the sweep accepts only strict improvements (error
+    monotone within a trajectory), the fused sweep and the per-slot path
+    draw identical candidates (same split discipline), and E=0 with a key
+    equals the keyless deterministic sweep."""
+    from snesimage_tpu.core.refine import sweep_channel
+
+    st, cfg0 = _prepped(small_image)
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        channel_explore=8,
+    )
+    refp = make_reference_pyramid(st)
+    e_start = float(error_of(st, cfg, refp))
+
+    key = jax.random.key(7)
+    fast = sweep_channel(st, cfg, refp, key=key)
+    assert float(fast.error) <= e_start + 1e-5
+
+    # per-slot path with the same split-per-visit stream
+    slow = st
+    k = key
+    for p in range(cfg.subpalette_count):
+        for i in range(cfg.subpalette_size):
+            for ch in range(3):
+                k, sub = jax.random.split(k)
+                slow = refine_slot_channel(
+                    slow, cfg, refp, p, i, ch, key=sub
+                ).state
+    e_fast = float(error_of(fast.state, cfg, refp))
+    e_slow = float(error_of(slow, cfg, refp))
+    diff = (
+        np.asarray(fast.state.palette) != np.asarray(slow.palette)
+    ).any(axis=-1).sum()
+    assert int(diff) <= 1, int(diff)
+    assert abs(e_fast - e_slow) < 0.05, (e_fast, e_slow)
+
+    # E=0: a passed key must not change the deterministic sweep
+    base = sweep_channel(st, cfg0, refp)
+    with_key = sweep_channel(st, cfg0, refp, key=jax.random.key(3))
+    assert np.array_equal(
+        np.asarray(base.state.palette), np.asarray(with_key.state.palette)
+    )
