@@ -50,9 +50,11 @@ def main() -> None:
 
     enable_compile_cache()  # warm-up compiles persist across invocations
 
-    # schedule="channel": coordinate descent converges faster AND lower
-    # than the reference's random-heavy schedule (quality >= reference-
-    # equivalent; see BENCHMARKS.md for the comparison).
+    # schedule="channel": coordinate descent converges ~8x faster than
+    # the reference's random-heavy schedule at a measured cost of ~2-3
+    # error points vs that schedule's seed band (113.4-115.8); see the
+    # round-3 frontier table in BENCHMARKS.md, including the
+    # --channel-explore recipe that closes most of the gap at 2.3 s.
     config = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=10,
         converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
