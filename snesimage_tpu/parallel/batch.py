@@ -255,6 +255,98 @@ def batched_run(
     return batched_optimize(states, config, mesh=None, max_steps=max_steps)
 
 
+@partial(jax.jit, static_argnames=("config", "k", "cap"))
+def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
+                     max_steps, cap: int):
+    """K seed trajectories of ONE shared image as one XLA program.
+
+    The image-derived fields (`original`, `tile_palettes` — deterministic
+    init, identical across seeds) stay UNBATCHED: only the per-seed
+    palette and palette map carry the vmap axis, and the shared fields
+    enter each vmapped sweep via closure. That batching pattern routes
+    the dithered candidate kernel's custom_vmap rule onto its CANDIDATE-
+    axis seed fold (ops/pallas_dither.py): the wavefront's dependent
+    column chain is walked once for all K seeds instead of K serial
+    passes through the kernel's image grid axis (which made a K=8
+    portfolio ~K x one-seed cost in round 2). Schedule and RNG stream
+    mirror _boptimize_fused exactly (same per-seed keys), so trajectories
+    match the image-batched portfolio up to f32 reassociation."""
+    from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
+
+    key0 = jax.random.key(config.seed)
+    max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+    shared = state
+
+    def seed_state(pal, pm):
+        return QuantState(shared.original, shared.tile_palettes, pal, pm)
+
+    def step_fn(pals, pms, key, step, cur):
+        def unpack(res):
+            return res.state.palette, res.state.palette_map, res.error
+
+        if config.nes:
+            res = jax.vmap(
+                lambda pal, pm, e: refine.sweep_nes(
+                    seed_state(pal, pm), config, refp, e
+                )
+            )(pals, pms, cur)
+            return unpack(res) + (key,)
+        if config.schedule == "channel":
+            res = jax.vmap(
+                lambda pal, pm, e: refine.sweep_channel(
+                    seed_state(pal, pm), config, refp, e
+                )
+            )(pals, pms, cur)
+            return unpack(res) + (key,)
+
+        def do_random(operand):
+            pals, pms, key, cur = operand
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, k)
+            res = jax.vmap(
+                lambda pal, pm, kk, e: refine.sweep_random(
+                    seed_state(pal, pm), config, refp, kk, e
+                )
+            )(pals, pms, keys, cur)
+            return unpack(res) + (key,)
+
+        def do_channel(operand):
+            pals, pms, key, cur = operand
+            res = jax.vmap(
+                lambda pal, pm, e: refine.sweep_channel(
+                    seed_state(pal, pm), config, refp, e
+                )
+            )(pals, pms, cur)
+            return unpack(res) + (key,)
+
+        return jax.lax.cond(
+            step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE,
+            do_random,
+            do_channel,
+            (pals, pms, key, cur),
+        )
+
+    def cond(carry):
+        local = carry[3]
+        return local < max_steps
+
+    def body(carry):
+        pals, pms, key, local, cur, errs = carry
+        pals, pms, cur, key = step_fn(pals, pms, key, local, cur)
+        errs = errs.at[local].set(jnp.mean(cur))
+        return pals, pms, key, local + 1, cur, errs
+
+    bc = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
+    cur0 = refine.frame_error_fused(state, config, refp)
+    init = (
+        bc(state.palette), bc(state.palette_map), key0, jnp.int32(0),
+        jnp.broadcast_to(cur0, (k,)),
+        jnp.full((cap,), jnp.nan, jnp.float32),
+    )
+    pals, pms, _, n, cur, errs = jax.lax.while_loop(cond, body, init)
+    return pals, pms, cur, errs, n
+
+
 def portfolio_run(
     image: np.ndarray,
     config: QuantConfig,
@@ -263,34 +355,63 @@ def portfolio_run(
     mesh: Mesh | None = None,
     max_steps: int | None = None,
 ) -> tuple[QuantState, np.ndarray, list[float]]:
-    """Seed portfolio (extension): optimize K copies of ONE image as an
-    on-device batch — identical schedule, independent RNG streams — and
-    keep the best final trajectory.
+    """Seed portfolio (extension): optimize K trajectories of ONE image —
+    identical schedule, independent RNG streams — and keep the best.
 
     The reference runs a single OS-seeded trajectory (src/lib.rs:201);
     random-schedule dithered outcomes vary several error points across
-    seeds (BENCHMARKS.md), so K batched trajectories on the candidate
-    machinery dominate a single run at roughly K/B extra cost on TPU.
-    Only the random steps differentiate seeds — with --schedule channel
-    every copy follows the same deterministic path.
+    seeds (BENCHMARKS.md). On one chip the K seeds fold into the
+    CANDIDATE axis of the slot-visit machinery (_portfolio_fused + the
+    dither kernel's seed-grouped lowering), so the dithered wavefront —
+    the latency-bound stage — is paid once, not K times. With a mesh the
+    K copies shard as an image batch instead (wall-clock-free at
+    K <= n_devices).
 
     Returns (best state (unbatched), per-seed final errors, per-step
-    batch-mean error history).
+    seed-mean error history).
     """
-    images = np.ascontiguousarray(
-        np.broadcast_to(image[None], (k,) + image.shape)
-    )
-    states = make_batched_states(images, config)
     if mesh is not None:
+        images = np.ascontiguousarray(
+            np.broadcast_to(image[None], (k,) + image.shape)
+        )
+        states = make_batched_states(images, config)
         states = shard_states(states, mesh)
-    states = binit(states, config)
-    states = bcluster(states, config)
-    refp = brefp(states, config)
-    states, step_errors = batched_optimize(
-        states, config, mesh=None, max_steps=max_steps
+        states = binit(states, config)
+        states = bcluster(states, config)
+        refp = brefp(states, config)
+        states, step_errors = batched_optimize(
+            states, config, mesh=None, max_steps=max_steps
+        )
+        errs = jax.vmap(lambda s, r: refine.error_of(s, config, r))(
+            states, refp
+        )
+        errs = np.asarray(errs)
+        best = int(errs.argmin())
+        best_state = jax.tree.map(lambda x: x[best], states)
+        return best_state, errs, step_errors
+
+    # Single chip: shared-image candidate-axis fold.
+    from snesimage_tpu.core.state import new_state
+
+    state = new_state(image, config)
+    if config.subpalette_count == 1:
+        state = recalculate_palettes(state, config)
+    else:
+        state = assign_tiles(state, config)
+    state = refine.full_remap(state, config)
+    state = recalculate_palettes(state, config)
+    state = refine.full_remap(state, config)
+    refp = refine.make_reference_pyramid(state)
+    if max_steps is None:
+        max_steps = config.max_steps
+    cap = max(config.max_steps, max_steps, 1)
+    pals, pms, cur, errs, n = _portfolio_fused(
+        state, config, refp, k, max_steps, cap
     )
-    errs = jax.vmap(lambda s, r: refine.error_of(s, config, r))(states, refp)
-    errs = np.asarray(errs)
-    best = int(errs.argmin())
-    best_state = jax.tree.map(lambda x: x[best], states)
-    return best_state, errs, step_errors
+    seed_errs = np.asarray(cur)
+    best = int(seed_errs.argmin())
+    best_state = QuantState(
+        state.original, state.tile_palettes, pals[best], pms[best]
+    )
+    step_errors = [float(e) for e in np.asarray(errs)[: int(n)]]
+    return best_state, seed_errs, step_errors

@@ -363,3 +363,112 @@ def test_pallas_dither_kernel_vmap_over_images(rng):
         np.testing.assert_array_equal(
             np.asarray(batched[k]), np.asarray(single)
         )
+
+
+def test_pallas_dither_kernel_seed_fold_matches_per_seed(rng):
+    """The portfolio batching pattern — ONE shared image, vmap only over
+    per-seed palette tables + candidate colors — must take the seed-fold
+    lowering (seeds folded onto the kernel's candidate axis) and
+    reproduce per-seed single calls exactly. b0=96 x g=3 also exercises
+    the 256-row sub-fold split (two launches, concatenated)."""
+    import jax
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import expand_5bit_to_8bit
+    from snesimage_tpu.ops.dither import _prep_skewed
+    from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+    h = w = 16
+    g, b0 = 3, 96
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    rgba[0:8, 8:16, 3] = 0
+    tp = rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32)
+    pals = rng.integers(0, 32, (g, 2, 4, 3)).astype(np.int32)
+    p, i = 1, 2
+    cands = rng.integers(0, 32, (g, b0, 3)).astype(np.int32)
+    cand8 = expand_5bit_to_8bit(jnp.asarray(cands)).astype(jnp_.float32)
+
+    # Image-derived operands are shared; only the entry table is per-seed.
+    shared = _prep_skewed(
+        jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+        jnp.asarray(tp), jnp.asarray(pals[0]), p,
+    )[:6]
+    orig_sk, _, tp_sk, aff_sk, alpha_sk, xof_sk = shared
+
+    def ent_cm(pal):
+        e8 = expand_5bit_to_8bit(jnp.asarray(pal)).astype(jnp_.float32)
+        s = e8.shape[1]
+        return jnp_.transpose(e8, (0, 2, 1)).reshape(-1, 3 * s)
+
+    ents = jnp_.stack([ent_cm(pals[k]) for k in range(g)])
+
+    folded = jax.vmap(
+        lambda e, c: dither_remap_candidates(
+            orig_sk, e, tp_sk, aff_sk, alpha_sk, xof_sk, c, i,
+            img_w=w, interpret=True,
+        )
+    )(ents, cand8)
+    for k in range(g):
+        single = dither_remap_candidates(
+            orig_sk, ents[k], tp_sk, aff_sk, alpha_sk, xof_sk, cand8[k], i,
+            img_w=w, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(folded[k]), np.asarray(single)
+        )
+
+
+def test_pallas_dither_kernel_seed_fold_perceptual(rng):
+    """Seed-fold lowering for the CIEDE2000 kernel variant: per-seed Lab
+    tables ride the same VMEM seed-column layout."""
+    import jax
+    import jax.numpy as jnp_
+    from snesimage_tpu.ops.color import expand_5bit_to_8bit, srgb_u8_to_lab
+    from snesimage_tpu.ops.dither import _prep_skewed
+    from snesimage_tpu.ops.pallas_dither import dither_remap_candidates
+
+    h = w = 16
+    g, b0 = 2, 3
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    tp = rng.integers(0, 2, (h // 8, w // 8)).astype(np.int32)
+    pals = rng.integers(0, 32, (g, 2, 4, 3)).astype(np.int32)
+    p, i = 0, 1
+    cands = rng.integers(0, 32, (g, b0, 3)).astype(np.int32)
+    cand8i = expand_5bit_to_8bit(jnp.asarray(cands))
+
+    shared = _prep_skewed(
+        jnp.asarray(rgba[..., :3]), jnp.asarray(rgba[..., 3]),
+        jnp.asarray(tp), jnp.asarray(pals[0]), p,
+    )[:6]
+    orig_sk, _, tp_sk, aff_sk, alpha_sk, xof_sk = shared
+
+    def tables(pal):
+        e8 = expand_5bit_to_8bit(jnp.asarray(pal))
+        s = e8.shape[1]
+        cm = jnp_.transpose(
+            e8.astype(jnp_.float32), (0, 2, 1)
+        ).reshape(-1, 3 * s)
+        lab = jnp_.transpose(srgb_u8_to_lab(e8), (0, 2, 1)).reshape(
+            -1, 3 * s
+        )
+        return cm, lab
+
+    ents, labs = map(jnp_.stack, zip(*[tables(pals[k]) for k in range(g)]))
+    cand_lab = jax.vmap(srgb_u8_to_lab)(cand8i)
+
+    folded = jax.vmap(
+        lambda e, c, el, cl: dither_remap_candidates(
+            orig_sk, e, tp_sk, aff_sk, alpha_sk, xof_sk,
+            c.astype(jnp_.float32), i, el, cl, img_w=w, interpret=True,
+        )
+    )(ents, cand8i, labs, cand_lab)
+    for k in range(g):
+        single = dither_remap_candidates(
+            orig_sk, ents[k], tp_sk, aff_sk, alpha_sk, xof_sk,
+            cand8i[k].astype(jnp_.float32), i, labs[k], cand_lab[k],
+            img_w=w, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(folded[k]), np.asarray(single)
+        )
