@@ -131,6 +131,15 @@ def build_parser() -> argparse.ArgumentParser:
         "fraction of a random step's cost; 0 = deterministic sweeps)",
     )
     p.add_argument(
+        "--channel-window", type=int, default=0, metavar="W",
+        help="Windowed channel descent: after 2 exhaustive warm-up "
+        "sweeps, restrict most channel visits to the 2*W values nearest "
+        "the current one (~2x faster sweeps); every 3rd post-warmup "
+        "sweep stays exhaustive so large jumps are still found, and "
+        "convergence is only tested on exhaustive sweeps "
+        "(0 = all sweeps exhaustive)",
+    )
+    p.add_argument(
         "--trials", type=int, default=64,
         help="Random candidates per slot visit (reference: 64)",
     )
@@ -221,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
                 random_trials=args.trials,
                 schedule=args.schedule,
                 channel_explore=args.channel_explore,
+                channel_window=args.channel_window,
                 prescreen=args.prescreen,
                 prescreen_full=args.prescreen_full,
             )

@@ -81,6 +81,20 @@ class QuantConfig:
     # quality can only improve. 0 keeps the channel schedule
     # deterministic.
     channel_explore: int = 0
+    # Windowed channel descent (extension, only with schedule="channel"):
+    # after `channel_window_warmup` exhaustive sweeps, most sweeps
+    # restrict each visit to the 2*channel_window values nearest the
+    # current one (clamped to [0, 31]) instead of all 32 — the coarse
+    # prescreen stage is ~77% of an exhaustive sweep's cost and scales
+    # with the candidate count. Every `channel_window_period`-th
+    # post-warmup sweep stays exhaustive, preserving the large-jump
+    # escapes that pure windowing catastrophically loses on few-color
+    # content (NEXT.md dead-ends: +50 error on flat poster art), and the
+    # convergence test fires only on exhaustive sweeps. 0 = every sweep
+    # exhaustive (reference-faithful candidate coverage).
+    channel_window: int = 0
+    channel_window_period: int = 3
+    channel_window_warmup: int = 2
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:
@@ -95,6 +109,14 @@ class QuantConfig:
             raise ValueError("prescreen_full must be >= 0")
         if self.channel_explore < 0:
             raise ValueError("channel_explore must be >= 0")
+        if not 0 <= self.channel_window <= 15:
+            raise ValueError("channel_window must be in [0, 15]")
+        if self.channel_window and self.channel_window_period < 2:
+            raise ValueError("channel_window_period must be >= 2")
+        if self.channel_window and self.channel_window_warmup < 1:
+            # The first sweep must be exhaustive: initial palettes are
+            # k-means means, often far from their slot's optimum.
+            raise ValueError("channel_window_warmup must be >= 1")
         if self.perceptual_palettes and 0 < self.prescreen_full < 4:
             # Measured (BENCHMARKS.md): the scale-1 finalist rank under
             # CIEDE2000 misses up to ~1.2 error of improvements at

@@ -86,6 +86,31 @@ def _is_random_step(config: QuantConfig, step: int) -> bool:
     return step % SCHEDULE_CYCLE < RANDOM_STEPS_PER_CYCLE
 
 
+def _windowing_active(config: QuantConfig) -> bool:
+    """Whether the windowed channel-descent extension applies at all
+    (see QuantConfig.channel_window)."""
+    return (
+        config.channel_window > 0
+        and config.schedule == "channel"
+        and not config.nes
+    )
+
+
+def _is_window_step(config: QuantConfig, step):
+    """Windowed-vs-exhaustive selector for a channel-descent step.
+
+    Works on Python ints (host-stepped loop) and traced int32 (the fused
+    loop's lax.cond): the first `channel_window_warmup` sweeps and every
+    `channel_window_period`-th post-warmup sweep are exhaustive; the rest
+    are windowed. Exhaustive sweeps keep the large-jump escapes windowing
+    loses; the convergence test fires only on them."""
+    if not _windowing_active(config):
+        return False if isinstance(step, int) else jnp.bool_(False)
+    warm = config.channel_window_warmup
+    per = config.channel_window_period
+    return (step >= warm) & ((step - warm) % per != per - 1)
+
+
 def _step_visits(config: QuantConfig, step: int) -> Iterator[SlotVisit]:
     """Slot visits of one scheduler step, reference order."""
     is_random = _is_random_step(config, step)
@@ -185,7 +210,19 @@ def _optimize_fused(
             sub = None
             if explore:
                 key, sub = jax.random.split(key)
-            res = sweep_channel(st, config, refp, cur_err, key=sub)
+            if _windowing_active(config):
+                res = jax.lax.cond(
+                    _is_window_step(config, step),
+                    lambda op: sweep_channel(
+                        op[0], config, refp, op[1], key=op[2], window=True
+                    ),
+                    lambda op: sweep_channel(
+                        op[0], config, refp, op[1], key=op[2]
+                    ),
+                    (st, cur_err, sub),
+                )
+            else:
+                res = sweep_channel(st, config, refp, cur_err, key=sub)
             return res.state, res.error, key
         def do_random(operand):
             st, key, cur_err = operand
@@ -212,11 +249,16 @@ def _optimize_fused(
 
     def body(carry):
         st, key, local, cur, window, errs, _ = carry
-        st, full, key = step_fn(st, key, start_step + local, cur)
+        step = start_step + local
+        st, full, key = step_fn(st, key, step, cur)
         errs = errs.at[local].set(full)
         slot = local % cycle
         prev = jax.lax.dynamic_index_in_dim(window, slot, 0, keepdims=False)
         done = (tol > 0) & (prev - full < tol)
+        if _windowing_active(config):
+            # A windowed sweep's small delta must not fire the stop: the
+            # next exhaustive sweep may still make large-jump escapes.
+            done = done & ~_is_window_step(config, step)
         window = jax.lax.dynamic_update_index_in_dim(window, full, slot, 0)
         return st, key, local + 1, full, window, errs, done
 
@@ -384,7 +426,10 @@ def optimize(
             elif is_random:
                 res = sweep_random(state, config, refp, step_key)
             else:
-                res = sweep_channel(state, config, refp, key=step_key)
+                res = sweep_channel(
+                    state, config, refp, key=step_key,
+                    window=_is_window_step(config, step),
+                )
             state = res.state
             err = float(res.error)
         else:
@@ -412,6 +457,7 @@ def optimize(
                     res = refine_slot_channel(
                         state, config, refp, visit.palette, visit.index,
                         visit.channel, key=sub,
+                        window=_is_window_step(config, step),
                     )
                 state = res.state
                 err = float(res.error)
@@ -424,6 +470,7 @@ def optimize(
             config.converge_tol > 0
             and len(full_errors) > cycle
             and full_errors[-1 - cycle] - full_errors[-1] < config.converge_tol
+            and not _is_window_step(config, step)
         ):
             break
 

@@ -651,7 +651,7 @@ def _slot_random(
 
 def _slot_channel(
     state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None,
-    base_err=None, key=None,
+    base_err=None, key=None, window=False,
 ):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
     Baseline handling: _pick (the current color is among the 32 sweep
@@ -661,10 +661,25 @@ def _slot_channel(
     uniform-random full-RGB candidates join the 32-value sweep
     (extension; see QuantConfig.channel_explore): the joint moves let
     coordinate descent escape single-channel equilibria. Acceptance is
-    unchanged (strict-less-than against the carried exact error)."""
+    unchanged (strict-less-than against the carried exact error).
+
+    With ``window=True`` (extension; see QuantConfig.channel_window) the
+    sweep covers only the 2*channel_window values nearest the current
+    one, clamped to [0, 31] (clamping may duplicate boundary values —
+    harmless under first-index argmin). The coarse prescreen cost scales
+    with the candidate count, so windowed visits run ~2x faster; the
+    scheduler interleaves exhaustive sweeps to preserve escapes."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     onehot = (jnp.arange(3) == channel).astype(jnp.int32)
-    values = jnp.arange(32, dtype=jnp.int32)
+    if window:
+        w = config.channel_window
+        offsets = jnp.concatenate(
+            [jnp.arange(-w, 0, dtype=jnp.int32),
+             jnp.arange(1, w + 1, dtype=jnp.int32)]
+        )
+        values = jnp.clip(current[channel] + offsets, 0, 31)
+    else:
+        values = jnp.arange(32, dtype=jnp.int32)
     sweep5 = (
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
@@ -707,11 +722,13 @@ def refine_slot_random(state, config: QuantConfig, refp, key, p, i) -> SlotResul
     return _slot_random(state, config, refp, key, p, i)[0]
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "window"))
 def refine_slot_channel(
-    state, config: QuantConfig, refp, p, i, channel, key=None
+    state, config: QuantConfig, refp, p, i, channel, key=None, window=False
 ) -> SlotResult:
-    return _slot_channel(state, config, refp, p, i, channel, key=key)[0]
+    return _slot_channel(
+        state, config, refp, p, i, channel, key=key, window=window
+    )[0]
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -776,16 +793,18 @@ def sweep_random(
     return SlotResult(state, err, jnp.bool_(True))
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "window"))
 def sweep_channel(
-    state: QuantState, config: QuantConfig, refp, base_err=None, key=None
+    state: QuantState, config: QuantConfig, refp, base_err=None, key=None,
+    window=False,
 ) -> SlotResult:
     """One full channel step: every slot visited for channels 0,1,2 in
     sequence (src/lib.rs:917-923). Carried baseline: see sweep_random.
 
     With `config.channel_explore > 0` and a `key`, every visit draws
     that many extra random full-RGB candidates (split-per-visit stream,
-    same discipline as sweep_random)."""
+    same discipline as sweep_random). ``window=True`` makes every visit
+    windowed (see _slot_channel)."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
@@ -800,7 +819,8 @@ def sweep_channel(
         if explore:
             key, sub = jax.random.split(key)
         res, cache = _slot_channel(
-            state, config, refp, p, i, ch, cache, err, key=sub
+            state, config, refp, p, i, ch, cache, err, key=sub,
+            window=window,
         )
         return res.state, res.error, cache, key
 

@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from snesimage_tpu.config import QuantConfig
-from snesimage_tpu.core import refine
+from snesimage_tpu.core import pipeline, refine
 from snesimage_tpu.core.init import assign_tiles, recalculate_palettes
 from snesimage_tpu.core.state import QuantState
 
@@ -168,10 +168,25 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
             )(states, refp, cur)
             return res.state, res.error, key
         if config.schedule == "channel":
-            res = jax.vmap(
-                lambda s, r, e: refine.sweep_channel(s, config, r, e)
-            )(states, refp, cur)
-            return res.state, res.error, key
+            def bchan(operand, window=False):
+                states, cur = operand
+                res = jax.vmap(
+                    lambda s, r, e: refine.sweep_channel(
+                        s, config, r, e, window=window
+                    )
+                )(states, refp, cur)
+                return res.state, res.error
+
+            if pipeline._windowing_active(config):
+                st, err = jax.lax.cond(
+                    pipeline._is_window_step(config, step),
+                    partial(bchan, window=True),
+                    bchan,
+                    (states, cur),
+                )
+            else:
+                st, err = bchan((states, cur))
+            return st, err, key
 
         def do_random(operand):
             states, key, cur = operand
@@ -292,12 +307,25 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
             )(pals, pms, cur)
             return unpack(res) + (key,)
         if config.schedule == "channel":
-            res = jax.vmap(
-                lambda pal, pm, e: refine.sweep_channel(
-                    seed_state(pal, pm), config, refp, e
+            def kchan(operand, window=False):
+                pals, pms, cur = operand
+                res = jax.vmap(
+                    lambda pal, pm, e: refine.sweep_channel(
+                        seed_state(pal, pm), config, refp, e, window=window
+                    )
+                )(pals, pms, cur)
+                return unpack(res)
+
+            if pipeline._windowing_active(config):
+                out = jax.lax.cond(
+                    pipeline._is_window_step(config, step),
+                    partial(kchan, window=True),
+                    kchan,
+                    (pals, pms, cur),
                 )
-            )(pals, pms, cur)
-            return unpack(res) + (key,)
+            else:
+                out = kchan((pals, pms, cur))
+            return out + (key,)
 
         def do_random(operand):
             pals, pms, key, cur = operand

@@ -1,5 +1,7 @@
 """Tests for the candidate-batched refine loop (core/refine.py)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -344,3 +346,82 @@ def test_channel_explore_sweep(small_image):
     assert np.array_equal(
         np.asarray(base.state.palette), np.asarray(with_key.state.palette)
     )
+
+
+def test_channel_window_schedule_and_stop():
+    """Windowed channel descent (QuantConfig.channel_window): the
+    warmup/period pattern, and the rule that windowed sweeps never fire
+    the convergence stop (only exhaustive sweeps can)."""
+    from snesimage_tpu.core.pipeline import _is_window_step
+
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel", channel_window=5,
+    )
+    # defaults: warmup 2, period 3 -> E E W W E W W E ...
+    assert [bool(_is_window_step(cfg, s)) for s in range(8)] == [
+        False, False, True, True, False, True, True, False
+    ]
+    off = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel",
+    )
+    assert not any(bool(_is_window_step(off, s)) for s in range(8))
+    # reference schedule ignores the window knob
+    ref = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        channel_window=5,
+    )
+    assert not any(bool(_is_window_step(ref, s)) for s in range(8))
+
+
+def test_channel_window_stop_only_on_exhaustive(small_image):
+    """With a huge tolerance every eligible sweep's delta is below tol;
+    the fused loop must still run THROUGH windowed steps and stop only
+    when an exhaustive sweep confirms the plateau."""
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel", max_steps=6, converge_tol=1e6,
+        channel_window=3, channel_window_warmup=1, channel_window_period=2,
+    )
+    # pattern: E W E W E W; step 0 never stops (empty window), step 1 is
+    # windowed (skipped), step 2 is the first exhaustive stop candidate.
+    _, errs, _ = pipeline.run_fused(np.asarray(small_image), cfg)
+    assert len(errs) == 3, errs
+    # without the window guard the same run stops one step earlier
+    cfg0 = dataclasses.replace(cfg, channel_window=0)
+    _, errs0, _ = pipeline.run_fused(np.asarray(small_image), cfg0)
+    assert len(errs0) == 2, errs0
+
+
+def test_channel_window_slot_visit(small_image):
+    """A windowed visit only ever picks values inside the clamped window,
+    and (window covering the whole range) equals the exhaustive visit."""
+    st, cfg0 = _prepped(small_image)
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        channel_window=4,
+    )
+    refp = make_reference_pyramid(st)
+    p, i, ch = 1, 2, 0
+    cur = int(np.asarray(st.palette)[p, i, ch])
+    res = refine_slot_channel(st, cfg, refp, p, i, ch, window=True)
+    got = int(np.asarray(res.state.palette)[p, i, ch])
+    assert abs(got - cur) <= 4, (cur, got)
+
+    # window 15 spans [cur-15, cur+15] clamped — includes every value an
+    # exhaustive sweep can reach iff cur is mid-range; compare acceptance
+    # against exhaustive on the same slot for a mid-range current value.
+    wide = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        channel_window=15,
+    )
+    exh = refine_slot_channel(st, cfg0, refp, p, i, ch)
+    if 15 <= cur <= 16:
+        win = refine_slot_channel(st, wide, refp, p, i, ch, window=True)
+        np.testing.assert_array_equal(
+            np.asarray(win.state.palette), np.asarray(exh.state.palette)
+        )
+    # windowed error never worse than the carried baseline semantics:
+    # strict-less-than acceptance keeps the current color on no-improve
+    assert float(res.error) <= float(error_of(st, cfg, refp)) + 1e-4
