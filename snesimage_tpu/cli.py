@@ -140,6 +140,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = all sweeps exhaustive)",
     )
     p.add_argument(
+        "--gate-margin", type=float, default=0.0, metavar="G",
+        help="With --prescreen-full (undithered): skip a visit's exact "
+        "scale-0 scoring unless its best finalist's predicted full "
+        "error (carried scale-0 term + exact scale-1..5 score) beats "
+        "the current error by more than G — late sweeps are almost "
+        "all-reject, so gating skips their finest-scale cost. "
+        "Acceptance stays exact; SMALLER G is safer, 0 = off "
+        "(validated margins in BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--trials", type=int, default=64,
         help="Random candidates per slot visit (reference: 64)",
     )
@@ -233,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                 channel_window=args.channel_window,
                 prescreen=args.prescreen,
                 prescreen_full=args.prescreen_full,
+                gate_margin=args.gate_margin,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

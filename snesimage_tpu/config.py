@@ -95,6 +95,21 @@ class QuantConfig:
     channel_window: int = 0
     channel_window_period: int = 3
     channel_window_warmup: int = 2
+    # Rank1 visit gating (extension, only effective with prescreen > 0
+    # AND prescreen_full > 0 on the undithered strict-less-than
+    # random/channel paths): skip a visit's exact scale-0 stage unless
+    # its best finalist's PREDICTED full error — the carried scale-0
+    # weighted-feature term of the current state plus the finalist's
+    # exact scale-1..5 score, i.e. exact up to the candidate's own
+    # scale-0 feature delta — beats the carried exact error by more
+    # than this margin (in real error units). Late sweeps are almost
+    # all-reject, so this skips most of their finest-scale cost. A
+    # SMALLER margin is safer (0 disables gating); the only possible
+    # harm is a missed improvement whose gain lives almost entirely in
+    # the finest scale — acceptance itself always compares fully-scored
+    # candidates, so a regression is impossible. Validated margins: see
+    # BENCHMARKS.md.
+    gate_margin: float = 0.0
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:
@@ -109,6 +124,8 @@ class QuantConfig:
             raise ValueError("prescreen_full must be >= 0")
         if self.channel_explore < 0:
             raise ValueError("channel_explore must be >= 0")
+        if self.gate_margin < 0:
+            raise ValueError("gate_margin must be >= 0")
         if not 0 <= self.channel_window <= 15:
             raise ValueError("channel_window must be in [0, 15]")
         if self.channel_window and self.channel_window_period < 2:

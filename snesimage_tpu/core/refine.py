@@ -69,6 +69,8 @@ from snesimage_tpu.ops.ssimulacra2 import (
     fused_scale_feature_block,
     reference_pyramid,
     score_from_features,
+    score_from_ssim_sum,
+    ssim_weighted_sum,
     ssimulacra2_from_ref_linear,
 )
 
@@ -149,6 +151,44 @@ def frame_error_fused(state: QuantState, config: QuantConfig, refp) -> jax.Array
     frames_cmaj = jnp.moveaxis(rendered, -1, 0)[None]
     feats = fused_scale_feature_block(refp, frames_cmaj, 0, NUM_SCALES)
     return (100.0 - score_from_features(feats))[0]
+
+
+def _gating_active(config: QuantConfig) -> bool:
+    """Whether rank1 visit gating (QuantConfig.gate_margin) applies: only
+    the undithered two-level-prescreened strict-less-than paths gate (the
+    gate prediction needs the separate scale-1 stage that only exists
+    with prescreen_full > 0; the NES sweep never prescreens; the dithered
+    path keeps its own machinery), and the prescreen decomposition needs
+    4-aligned geometry."""
+    return (
+        config.gate_margin > 0
+        and config.prescreen > 0
+        and config.prescreen_full > 0
+        and not config.dither
+        and not config.nes
+        and config.height % 4 == 0
+        and config.width % 4 == 0
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def gate_base_fused(
+    state: QuantState, config: QuantConfig, refp
+) -> jax.Array:
+    """Scale-0 weighted |feature| sum of the current state (see
+    ssim_weighted_sum: the score's weighted sum decomposes exactly over
+    the disjoint scale supports). Sweeps with gating enabled carry it
+    across slot visits; combining it with a candidate's exact scale-1..5
+    sum predicts the candidate's FULL error at the true operating point
+    of the score nonlinearity — the only unknown is the candidate's
+    scale-0 feature delta. One frame, one fused scale-0 evaluation
+    (~the cost of scoring one extra finalist per sweep)."""
+    rendered = render_linear(
+        state.palette_map, state.alpha, state.tile_palettes, state.palette
+    )
+    cmaj = jnp.moveaxis(rendered, -1, 0)[None]  # (1, 3, H, W)
+    feats = fused_scale_feature_block(refp, cmaj, 0, 1)
+    return ssim_weighted_sum(feats)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -242,13 +282,32 @@ def _undithered_machinery(
         i) wins on d_c < best_val, or on ties when i precedes best_idx."""
         return (d_c < best_val) | ((d_c == best_val) & (i < best_idx))
 
-    def errors(refp, cand5, allow_prescreen=True, carried_base=False):
+    def errors(
+        refp, cand5, allow_prescreen=True, carried_base=False,
+        gate=None,
+    ):
         """Per-candidate errors. With ``carried_base=True`` the batch
         contains NO baseline row: the caller carries the exact error of
         the current state across slot visits (see _slot_channel), so the
         current color is never re-scored — this drops one frame from
         every scoring stage (the coarse kernel, the scale-1 rank, and the
-        scale-0 finalists)."""
+        scale-0 finalists).
+
+        ``gate`` (only with carried_base, two-level prescreen) is the
+        rank1 visit gate's context ``(b0, base_err)``: b0 = the current
+        state's scale-0 weighted |feature| sum (gate_base_fused, carried
+        across visits), base_err = the carried exact error. The return
+        value becomes ``(errs, s0_vec)`` and the scale-0 stage runs under
+        a lax.cond: each finalist's FULL error is predicted as
+        100 - score_poly(b0 + its exact scale-1..5 weighted sum) — exact
+        except for the candidate's own scale-0 feature delta — and when
+        even the best prediction is not within ``config.gate_margin`` of
+        beating base_err, every candidate reports +inf (visit rejected)
+        without the scale-0 work. A LARGER margin is SAFER (gate opens
+        more often); only a missed improvement is possible — acceptance
+        always compares fully-scored candidates against the carried
+        exact error. ``s0_vec`` is each fully-scored candidate's scale-0
+        weighted sum (the carry update on accept), 0 elsewhere."""
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
@@ -410,22 +469,69 @@ def _undithered_machinery(
                 feats_1 = fused_scale_feature_block(
                     refp, frames, 1, 1, pre_ds=1
                 )
-                rank1 = 100.0 - score_from_features(feats_1 + feats_c[sel])
+                s15 = ssim_weighted_sum(feats_1 + feats_c[sel])
+                if gate is not None:
+                    # Rank by the calibrated full-error prediction (same
+                    # ordering as the raw scale-1..5 score: adding the
+                    # carried b0 shifts every candidate's weighted sum by
+                    # the same constant, and the score nonlinearity is
+                    # monotone over the operating range).
+                    b0, base_full = gate
+                    rank1 = 100.0 - score_from_ssim_sum(b0 + s15)
+                else:
+                    rank1 = 100.0 - score_from_ssim_sum(s15)
                 if carried_base:
                     _, sel2 = jax.lax.top_k(-rank1, m)
                 else:
                     _, top2 = jax.lax.top_k(-rank1[1:], m)
-                    sel2 = jnp.concatenate([jnp.zeros(1, top2.dtype), top2 + 1])
+                    sel2 = jnp.concatenate(
+                        [jnp.zeros(1, top2.dtype), top2 + 1]
+                    )
                 selF = sel[sel2]
-                feats_0 = fused_scale_feature_block(refp, build(selF), 0, 1)
-                full = 100.0 - score_from_features(
-                    feats_0 + feats_1[sel2] + feats_c[selF]
-                )
-                return jnp.full((b,), jnp.inf, jnp.float32).at[selF].set(full)
+
+                def _scale0():
+                    feats_0 = fused_scale_feature_block(
+                        refp, build(selF), 0, 1
+                    )
+                    full = 100.0 - score_from_features(
+                        feats_0 + feats_1[sel2] + feats_c[selF]
+                    )
+                    errs_v = jnp.full(
+                        (b,), jnp.inf, jnp.float32
+                    ).at[selF].set(full)
+                    s0_v = jnp.zeros((b,), jnp.float32).at[selF].set(
+                        ssim_weighted_sum(feats_0)
+                    )
+                    return errs_v, s0_v
+
+                if gate is not None:
+                    # Rank1 gate: run the scale-0 stage only when the
+                    # best finalist's predicted full error beats the
+                    # carried exact error by MORE than gate_margin;
+                    # otherwise the visit rejects with no scale-0 work
+                    # (lax.cond executes one branch on TPU). The current
+                    # color's own prediction is ~exactly base, so the
+                    # margin must be strictly positive to ever close; a
+                    # SMALLER margin is safer (more visits fully scored),
+                    # at the cost of fewer skips.
+                    gate_open = (
+                        jnp.min(rank1) - base_full
+                        < -jnp.float32(config.gate_margin)
+                    )
+                    return jax.lax.cond(
+                        gate_open,
+                        _scale0,
+                        lambda: (
+                            jnp.full((b,), jnp.inf, jnp.float32),
+                            jnp.zeros((b,), jnp.float32),
+                        ),
+                    )
+                return _scale0()[0]
             # Finalists: only the two finest scales run at full
             # resolution; scales 2..5 reuse the coarse features (the
             # pooled scale-2 frame IS the finalist frame's scale-2
             # downsample, exactly, up to f32 summation order).
+            assert gate is None  # _gating_active requires prescreen_full
             feats_f = fused_scale_feature_block(refp, frames, 0, 2)
             full = 100.0 - score_from_features(feats_f + feats_c[sel])
             return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
@@ -433,7 +539,17 @@ def _undithered_machinery(
         # batch through the fused multi-scale kernel (XLA path off-TPU).
         frames = jax.vmap(one_frame_cmaj)(cand8, cand_lin, cand_lab)
         feats = fused_scale_feature_block(refp, frames, 0, NUM_SCALES)
-        return 100.0 - score_from_features(feats)
+        errs = 100.0 - score_from_features(feats)
+        if gate is not None:
+            # Small batches (e.g. windowed visits) skip the prescreen
+            # decomposition; no gating opportunity, but the gate carry
+            # still needs each candidate's scale-0 weighted sum —
+            # extracted from the already-computed full features (~free).
+            s0_v = ssim_weighted_sum(
+                feats * (jnp.arange(NUM_SCALES) == 0)[:, None, None]
+            )
+            return errs, s0_v
+        return errs
 
     def _chosen_dist(color5):
         c8 = expand_5bit_to_8bit(color5)
@@ -573,7 +689,14 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
     updated value (None-safe for the dithered path, which has no cache)."""
     if config.dither:
 
-        def errors(refp, cand5, allow_prescreen=True, carried_base=False):
+        def errors(
+            refp, cand5, allow_prescreen=True, carried_base=False,
+            gate=None,
+        ):
+            # The dithered path never gates (_gating_active excludes it):
+            # its remap is a full wavefront per candidate, so the metric
+            # stages are not the dominant slice they are undithered.
+            assert gate is None
             return _candidate_errors_dithered(
                 state, config, refp, p, i, cand5, allow_prescreen,
                 carried_base,
@@ -607,7 +730,8 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
 
 
 def _pick(
-    errors, apply, new_cache, refp, cand5, current, base_err
+    errors, apply, new_cache, refp, cand5, current, base_err,
+    gate_base=None, skip=None,
 ):
     """Shared accept/apply tail for the strict-less-than slot visits.
 
@@ -619,11 +743,31 @@ def _pick(
     exact error of the current state is carried across visits instead;
     the ``changed`` guard keeps tiny cross-decomposition f32 noise from
     ever drifting the carried error on a phantom re-accept of the
-    current color."""
+    current color.
+
+    ``gate_base`` (only with a carried ``base_err``) enables the rank1
+    visit gate: it is the carried scale-0 weighted |feature| sum of the
+    current state (see gate_base_fused / QuantConfig.gate_margin). The
+    third return value is the updated carry — the accepted candidate's
+    own scale-0 sum on accept, unchanged otherwise.
+
+    ``skip`` (only with a carried ``base_err``): the incoming
+    ``(state, cache)`` pair. When given, rejected visits return it
+    verbatim under a lax.cond instead of recomputing ``apply(current)``
+    / ``new_cache(current)`` — both are provably identity on reject (the
+    palette_map / distance-cache invariants the sweeps maintain), and on
+    the dithered path apply() is a full wavefront remap, the visit's
+    single most expensive op."""
     if base_err is None:
+        assert gate_base is None
         errs = errors(refp, jnp.concatenate([current[None, :], cand5], axis=0))
         base = errs[0]
         cand_errs = errs[1:]
+    elif gate_base is not None:
+        base = base_err
+        cand_errs, s0_vec = errors(
+            refp, cand5, carried_base=True, gate=(gate_base, base_err)
+        )
     else:
         base = base_err
         cand_errs = errors(refp, cand5, carried_base=True)
@@ -633,25 +777,41 @@ def _pick(
     color = jnp.where(accept, cand5[bidx], current)
     changed = accept & jnp.any(color != current)
     err_out = jnp.where(changed, jnp.minimum(bmin, base), base)
-    res = SlotResult(apply(color), err_out, changed)
-    return res, new_cache(color)
+    if skip is not None:
+        assert base_err is not None
+        state_out, cache_out = jax.lax.cond(
+            changed,
+            lambda: (apply(color), new_cache(color)),
+            lambda: skip,
+        )
+        res = SlotResult(state_out, err_out, changed)
+    else:
+        res = SlotResult(apply(color), err_out, changed)
+        cache_out = new_cache(color)
+    new_gate = None
+    if gate_base is not None:
+        new_gate = jnp.where(changed, s0_vec[bidx], gate_base)
+    return res, cache_out, new_gate
 
 
 def _slot_random(
     state: QuantState, config: QuantConfig, refp, key, p, i, cache=None,
-    base_err=None,
+    base_err=None, gate_base=None, skip=False,
 ):
     """64 uniform-random 5-bit candidates; keep the best only if it beats
     the current error (src/lib.rs:191-240). Baseline handling: _pick."""
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     rand5 = jax.random.randint(key, (config.random_trials, 3), 0, 32, dtype=jnp.int32)
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
-    return _pick(errors, apply, new_cache, refp, rand5, current, base_err)
+    return _pick(
+        errors, apply, new_cache, refp, rand5, current, base_err,
+        gate_base, (state, cache) if skip else None,
+    )
 
 
 def _slot_channel(
     state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None,
-    base_err=None, key=None, window=False,
+    base_err=None, key=None, window=False, gate_base=None, skip=False,
 ):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
     Baseline handling: _pick (the current color is among the 32 sweep
@@ -689,12 +849,15 @@ def _slot_channel(
         )
         sweep5 = jnp.concatenate([sweep5, rand5], axis=0)
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
-    return _pick(errors, apply, new_cache, refp, sweep5, current, base_err)
+    return _pick(
+        errors, apply, new_cache, refp, sweep5, current, base_err,
+        gate_base, (state, cache) if skip else None,
+    )
 
 
 def _slot_nes(
     state: QuantState, config: QuantConfig, refp, p, i, cache=None,
-    base_err=None,
+    base_err=None, skip=False,
 ):
     """Exhaustive sweep of the 56 NES colors; ALWAYS replaces the entry
     with the best NES color (best_error starts at MAX, src/lib.rs:242-284).
@@ -713,6 +876,15 @@ def _slot_nes(
     current = jax.lax.dynamic_slice(state.palette, (p, i, 0), (1, 1, 3)).reshape(3)
     color = cand5[bidx]
     changed = jnp.any(color != current)
+    if skip:
+        # Once the palette is NES-snapped, most visits re-pick the same
+        # color; apply()/new_cache() are identity then (see _pick's skip).
+        state_out, cache_out = jax.lax.cond(
+            changed,
+            lambda: (apply(color), new_cache(color)),
+            lambda: (state, cache),
+        )
+        return SlotResult(state_out, errs[bidx], changed), cache_out
     res = SlotResult(apply(color), errs[bidx], changed)
     return res, new_cache(color)
 
@@ -773,22 +945,30 @@ def sweep_random(
     `base_err` is the exact error of the incoming state (carried across
     sweeps by the fused optimize loop); None computes it here. Each visit
     then carries the exact post-visit error forward, so no visit ever
-    re-scores the current color as an in-batch baseline."""
+    re-scores the current color as an in-batch baseline. With gating
+    (QuantConfig.gate_margin) the current state's scale-0 weighted sum
+    rides the carry too (see _pick / gate_base_fused)."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
+    gate0 = (
+        gate_base_fused(state, config, refp)
+        if _gating_active(config)
+        else None
+    )
 
     def body(k, carry):
-        state, key, err, cache = carry
+        state, key, err, cache, gb = carry
         key, sub = jax.random.split(key)
-        res, cache = _slot_random(
-            state, config, refp, sub, k // s, k % s, cache, err
+        res, cache, gb = _slot_random(
+            state, config, refp, sub, k // s, k % s, cache, err, gb,
+            skip=True,
         )
-        return res.state, key, res.error, cache
+        return res.state, key, res.error, cache, gb
 
     n = config.subpalette_count * s
-    state, _, err, _ = jax.lax.fori_loop(
-        0, n, body, (state, key, base_err, _init_cache(state, config))
+    state, _, err, _, _ = jax.lax.fori_loop(
+        0, n, body, (state, key, base_err, _init_cache(state, config), gate0)
     )
     return SlotResult(state, err, jnp.bool_(True))
 
@@ -809,27 +989,32 @@ def sweep_channel(
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
     explore = key is not None and config.channel_explore > 0
+    gate0 = (
+        gate_base_fused(state, config, refp)
+        if _gating_active(config)
+        else None
+    )
 
     def body(k, carry):
-        state, err, cache, key = carry
+        state, err, cache, key, gb = carry
         p = k // (s * 3)
         i = (k // 3) % s
         ch = k % 3
         sub = None
         if explore:
             key, sub = jax.random.split(key)
-        res, cache = _slot_channel(
+        res, cache, gb = _slot_channel(
             state, config, refp, p, i, ch, cache, err, key=sub,
-            window=window,
+            window=window, gate_base=gb, skip=True,
         )
-        return res.state, res.error, cache, key
+        return res.state, res.error, cache, key, gb
 
     if key is None:
         # keep the carry a fixed pytree; unused when explore is off
         key = jax.random.key(0)
     n = config.subpalette_count * s * 3
-    state, err, _, _ = jax.lax.fori_loop(
-        0, n, body, (state, base_err, _init_cache(state, config), key)
+    state, err, _, _, _ = jax.lax.fori_loop(
+        0, n, body, (state, base_err, _init_cache(state, config), key, gate0)
     )
     return SlotResult(state, err, jnp.bool_(True))
 
@@ -847,7 +1032,9 @@ def sweep_nes(
 
     def body(k, carry):
         state, _, cache = carry
-        res, cache = _slot_nes(state, config, refp, k // s, k % s, cache)
+        res, cache = _slot_nes(
+            state, config, refp, k // s, k % s, cache, skip=True
+        )
         return res.state, res.error, cache
 
     n = config.subpalette_count * s

@@ -346,14 +346,27 @@ def fused_scale_feature_block(
     )
 
 
-def score_from_features(f: jax.Array) -> jax.Array:
-    """(..., NUM_SCALES, 3, 6) features -> SSIMULACRA2 score (<= 100)."""
+def ssim_weighted_sum(f: jax.Array) -> jax.Array:
+    """(..., NUM_SCALES, 3, 6) features -> the pre-nonlinearity weighted
+    |feature| sum (the `ssim` accumulator of the upstream scoring).
+
+    Because every feature tensor this framework combines has DISJOINT
+    scale support (feats_0 / feats_1 / feats_c populate different scale
+    rows and are zero elsewhere), abs distributes over their sum and this
+    weighted sum decomposes EXACTLY:
+    ssim_weighted_sum(f0 + f1 + fc) = wsum(f0) + wsum(f1) + wsum(fc).
+    The rank1 visit gate (core/refine.py) relies on this to carry the
+    current state's scale-0 term as a single scalar."""
     # (..., scales, C, 6) -> weight-ordered (..., C, scales, n, metric)
     f = jnp.moveaxis(f, -2, -3)  # (..., C, scales, 6)
     f = f.reshape(*f.shape[:-1], 2, 3)  # 6 -> (n, metric)
     flat = jnp.abs(f).reshape(*f.shape[:-4], 108)
-    ssim = flat @ jnp.asarray(WEIGHTS, dtype=jnp.float32)
+    return flat @ jnp.asarray(WEIGHTS, dtype=jnp.float32)
 
+
+def score_from_ssim_sum(ssim: jax.Array) -> jax.Array:
+    """Weighted |feature| sum -> SSIMULACRA2 score (<= 100): the upstream
+    scale + fitted cubic + power nonlinearity."""
     ssim = ssim * SCORE_SCALE
     ssim = SCORE_P3 * ssim**3 - SCORE_P2 * ssim**2 + SCORE_P1 * ssim
     return jnp.where(
@@ -361,6 +374,11 @@ def score_from_features(f: jax.Array) -> jax.Array:
         100.0 - 10.0 * jnp.maximum(ssim, 1e-30) ** SCORE_POW,
         100.0,
     )
+
+
+def score_from_features(f: jax.Array) -> jax.Array:
+    """(..., NUM_SCALES, 3, 6) features -> SSIMULACRA2 score (<= 100)."""
+    return score_from_ssim_sum(ssim_weighted_sum(f))
 
 
 def ssimulacra2_from_ref_linear(

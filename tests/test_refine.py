@@ -292,8 +292,8 @@ def test_carried_base_matches_legacy(small_image):
         refp = make_reference_pyramid(st)
         base = frame_error_fused(st, cfg, refp)
         for p, i, ch in slots:
-            legacy, _ = _slot_channel(st, cfg, refp, p, i, ch)
-            carried, _ = _slot_channel(st, cfg, refp, p, i, ch, None, base)
+            legacy, _, _ = _slot_channel(st, cfg, refp, p, i, ch)
+            carried, _, _ = _slot_channel(st, cfg, refp, p, i, ch, None, base)
             np.testing.assert_array_equal(
                 np.asarray(legacy.state.palette),
                 np.asarray(carried.state.palette),
