@@ -1,0 +1,82 @@
+"""Gate-margin experiment: quality/speed across contents (throwaway)."""
+import json
+import sys
+import time
+
+import numpy as np
+
+from bench import _test_image
+from snesimage_tpu.config import QuantConfig
+from snesimage_tpu.core import pipeline
+from snesimage_tpu.utils.cache import enable_compile_cache
+
+
+def photo_image(seed=3):
+    """Photo-like: smooth low-freq fields + texture noise."""
+    rng = np.random.default_rng(seed)
+    h = w = 256
+    base = rng.normal(0, 1, (3, 8, 8)).astype(np.float32)
+    up = np.kron(base, np.ones((32, 32), np.float32))
+    img = np.zeros((h, w, 4), np.uint8)
+    for c in range(3):
+        field = up[c] + 0.35 * rng.normal(0, 1, (h, w))
+        img[..., c] = np.clip(128 + 60 * field, 0, 255)
+    img[..., 3] = 255
+    return img
+
+
+def poster_image(seed=5):
+    """Flat poster art: few solid colors in blocky shapes."""
+    rng = np.random.default_rng(seed)
+    h = w = 256
+    img = np.zeros((h, w, 4), np.uint8)
+    colors = rng.integers(0, 256, (12, 3))
+    img[..., :3] = colors[0]
+    for k in range(1, 12):
+        cy, cx = rng.integers(0, h, 2)
+        hh, ww = rng.integers(24, 120, 2)
+        img[cy : cy + hh, cx : cx + ww, :3] = colors[k]
+    img[..., 3] = 255
+    return img
+
+
+CONTENTS = {
+    "gradient": _test_image(),
+    "photo": photo_image(),
+    "poster": poster_image(),
+}
+
+
+def main():
+    enable_compile_cache()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gate"
+    vals = [float(m) for m in sys.argv[2:]] or [0.0]
+    for val in vals:
+        kw = (
+            {"gate_margin": val} if mode == "gate"
+            else {"coarse_rank_scale": int(val)}
+        )
+        config = QuantConfig(
+            subpalette_count=8, subpalette_size=15, max_steps=10,
+            converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
+            prescreen_full=2, **kw,
+        )
+        pipeline.run_fused(CONTENTS["gradient"], config)  # compile
+        for name, img in CONTENTS.items():
+            runs, res = [], None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = pipeline.run_fused(img, config)
+                runs.append(time.perf_counter() - t0)
+            _, errors, info = res
+            print(json.dumps({
+                mode: val, "content": name,
+                "sec": round(min(runs), 3),
+                "final": round(info["final_error"], 4),
+                "steps": len(errors),
+                "step_errors": [round(e, 3) for e in errors],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

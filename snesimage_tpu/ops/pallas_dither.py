@@ -98,6 +98,12 @@ _RGB2XYZ = np.array(
 _D65 = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 _LAB_DELTA = np.float32(6.0 / 29.0)
 _POW25_7 = np.float32(25.0**7)
+_COS30 = np.float32(np.cos(np.pi / 6))
+_SIN30 = np.float32(0.5)
+_COS6 = np.float32(np.cos(np.pi / 30))
+_SIN6 = np.float32(np.sin(np.pi / 30))
+_COS63 = np.float32(np.cos(63.0 * np.pi / 180.0))
+_SIN63 = np.float32(np.sin(63.0 * np.pi / 180.0))
 
 
 def _srgb_decode_plane(v):
@@ -183,8 +189,33 @@ def _atan2_planes(y, x):
 
 
 def _ciede2000_planes(l1, a1, b1, l2, a2, b2):
-    """CIEDE2000 on channel planes — same math as ops/color.py ciede2000
-    (Sharma et al. 2005), with the % 360 wraps rewritten as selects."""
+    """CIEDE2000 on channel planes — same result as ops/color.py
+    ciede2000 (Sharma et al. 2005), restructured for VPU cost: the hue
+    difference and mean-hue trigonometry are computed ALGEBRAICALLY from
+    the (a', b) vectors instead of two atan2 calls + 5 sin/cos + the
+    %360 select chains:
+
+      ΔH' = 2·sqrt(C1'C2')·sin(Δh'/2), with sin(Δh'/2) = cross/|S|
+        (cross = a1'·b2 − b1·a2' = C1'C2'·sin Δh'), or at near-
+        opposition sign(cross)·sqrt((C1'C2' − dot)/2)/sqrt(C1'C2')
+        (dot = a1'a2' + b1b2 = C1'C2'·cos Δh');
+      (cos h̄', sin h̄') = the normalized short-arc midpoint direction —
+        exactly what the upstream mean-hue wrap rules compute — from the
+        scaled SUM vector S = (a1'C2' + a2'C1', b1C2' + b2C1') =
+        C1'C2'·(û1 + û2), or, where that cancels (near-opposition), the
+        90°-rotated DIFFERENCE vector sign(Δh')·(D_y, −D_x) with
+        D = C1'C2'·(û2 − û1); picking the larger of |S|, |D| per element
+        keeps every selected form at relative f32 error ~eps (validated
+        against the f64 oracle: max |Δ| < 2e-4 over 5e5 random u8 pairs
+        including forced near-opposition stress);
+      and T's four cosines via angle-addition polynomials in
+      (cos h̄', sin h̄').
+
+    Only ONE transcendental pair survives: atan2 for the rotation term's
+    Gaussian-in-angle (no closed form in cos/sin) and its sin. Exact
+    hue OPPOSITION (Δh' == ±180°, where the upstream wraps depend on the
+    raw angle representatives) resolves to ΔH' >= 0 and h̄' = h1' + 90° —
+    a measure-zero, f32-invisible deviation."""
     deg = np.float32(180.0 / np.pi)
     rad = np.float32(np.pi / 180.0)
     c1 = jnp.sqrt(a1 * a1 + b1 * b1)
@@ -196,46 +227,57 @@ def _ciede2000_planes(l1, a1, b1, l2, a2, b2):
     a2p = (1.0 + g) * a2
     c1p = jnp.sqrt(a1p * a1p + b1 * b1)
     c2p = jnp.sqrt(a2p * a2p + b2 * b2)
-
-    h1p = _atan2_planes(b1, a1p) * deg
-    h1p = jnp.where(h1p < 0.0, h1p + 360.0, h1p)
-    h2p = _atan2_planes(b2, a2p) * deg
-    h2p = jnp.where(h2p < 0.0, h2p + 360.0, h2p)
+    cprod = c1p * c2p
+    prod_zero = cprod == 0.0
 
     dlp = l2 - l1
     dcp = c2p - c1p
-    prod_zero = (c1p * c2p) == 0.0
-    hdiff = h2p - h1p
-    dhp = jnp.where(
-        prod_zero,
-        0.0,
-        jnp.where(
-            jnp.abs(hdiff) <= 180.0,
-            hdiff,
-            jnp.where(hdiff > 180.0, hdiff - 360.0, hdiff + 360.0),
-        ),
+    dot = a1p * a2p + b1 * b2
+    cross = a1p * b2 - b1 * a2p
+    sign_dh = jnp.where(
+        cross != 0.0, jnp.sign(cross), jnp.where(dot < 0.0, 1.0, 0.0)
     )
-    dHp = 2.0 * jnp.sqrt(c1p * c2p) * jnp.sin(dhp * rad * 0.5)
+    sx = a1p * c2p + a2p * c1p  # C1'C2'·(û1 + û2) = 2cos(Δh'/2)·C1'C2'·m̂
+    sy = b1 * c2p + b2 * c1p
+    dx = a2p * c1p - a1p * c2p  # C1'C2'·(û2 − û1) = 2sin(Δh'/2)·C1'C2'·m̂⊥
+    dy = b2 * c1p - b1 * c2p
+    ss = sx * sx + sy * sy
+    dd = dx * dx + dy * dy
+    use_sum = ss >= dd  # |Δh'| <= 90°: the sum form is the stable one
+    rt_cprod = jnp.sqrt(cprod)
+    dHp = jnp.where(
+        use_sum,
+        2.0 * rt_cprod * cross / jnp.sqrt(jnp.where(ss == 0.0, 1.0, ss)),
+        sign_dh * jnp.sqrt(jnp.maximum(2.0 * (cprod - dot), 0.0)),
+    )
 
     lbar = 0.5 * (l1 + l2)
     cbarp = 0.5 * (c1p + c2p)
-    hsum = h1p + h2p
-    hbarp = jnp.where(
-        prod_zero,
-        hsum,
-        jnp.where(
-            jnp.abs(h1p - h2p) <= 180.0,
-            0.5 * hsum,
-            jnp.where(hsum < 360.0, 0.5 * (hsum + 360.0), 0.5 * (hsum - 360.0)),
-        ),
-    )
+    # Mean hue: with one side gray the upstream hsum rule keeps the
+    # chromatic side's hue — the plain vector sum does the same.
+    vx = jnp.where(use_sum, sx, sign_dh * dy)
+    vy = jnp.where(use_sum, sy, -sign_dh * dx)
+    vx = jnp.where(prod_zero, a1p + a2p, vx)
+    vy = jnp.where(prod_zero, b1 + b2, vy)
+    vnorm = jnp.sqrt(vx * vx + vy * vy)
+    inv_n = 1.0 / jnp.where(vnorm == 0.0, 1.0, vnorm)
+    ch = vx * inv_n  # cos h̄'  (0 when both sides gray: T arbitrary,
+    sh = vy * inv_n  # sin h̄'   killed by cbarp == 0 in S_H and R_T)
+    c2h = 2.0 * ch * ch - 1.0
+    s2h = 2.0 * sh * ch
+    c3h = ch * c2h - sh * s2h
+    s3h = sh * c2h + ch * s2h
+    c4h = c2h * c2h - s2h * s2h
+    s4h = 2.0 * s2h * c2h
     t = (
         1.0
-        - 0.17 * jnp.cos((hbarp - 30.0) * rad)
-        + 0.24 * jnp.cos(2.0 * hbarp * rad)
-        + 0.32 * jnp.cos((3.0 * hbarp + 6.0) * rad)
-        - 0.20 * jnp.cos((4.0 * hbarp - 63.0) * rad)
+        - 0.17 * (ch * _COS30 + sh * _SIN30)
+        + 0.24 * c2h
+        + 0.32 * (c3h * _COS6 - s3h * _SIN6)
+        - 0.20 * (c4h * _COS63 + s4h * _SIN63)
     )
+    hbarp = _atan2_planes(vy, vx) * deg
+    hbarp = jnp.where(hbarp < 0.0, hbarp + 360.0, hbarp)
     dtheta = 30.0 * jnp.exp(-(((hbarp - 275.0) * np.float32(1.0 / 25.0)) ** 2))
     cbarp7 = (cbarp * cbarp * cbarp) ** 2 * cbarp
     rc = 2.0 * jnp.sqrt(cbarp7 / (cbarp7 + _POW25_7))
