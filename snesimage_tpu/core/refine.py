@@ -300,13 +300,17 @@ def _undithered_machinery(
         value becomes ``(errs, s0_vec)`` and the scale-0 stage runs under
         a lax.cond: each finalist's FULL error is predicted as
         100 - score_poly(b0 + its exact scale-1..5 weighted sum) — exact
-        except for the candidate's own scale-0 feature delta — and when
-        even the best prediction is not within ``config.gate_margin`` of
-        beating base_err, every candidate reports +inf (visit rejected)
-        without the scale-0 work. A LARGER margin is SAFER (gate opens
-        more often); only a missed improvement is possible — acceptance
-        always compares fully-scored candidates against the carried
-        exact error. ``s0_vec`` is each fully-scored candidate's scale-0
+        except for the candidate's own scale-0 feature delta — and
+        unless the best prediction beats base_err by MORE than
+        ``config.gate_margin``, every candidate reports +inf (visit
+        rejected) without the scale-0 work. The current color's own
+        prediction equals base_err exactly (the decomposition is exact
+        on the current state), so the margin must be strictly positive
+        to ever skip; a SMALLER margin is safer (more visits fully
+        scored) and the only possible harm is a missed improvement whose
+        gain lives in the candidate's scale-0 delta — acceptance always
+        compares fully-scored candidates against the carried exact
+        error. ``s0_vec`` is each fully-scored candidate's scale-0
         weighted sum (the carry update on accept), 0 elsewhere."""
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
@@ -510,8 +514,9 @@ def _undithered_machinery(
                     # carried exact error by MORE than gate_margin;
                     # otherwise the visit rejects with no scale-0 work
                     # (lax.cond executes one branch on TPU). The current
-                    # color's own prediction is ~exactly base, so the
-                    # margin must be strictly positive to ever close; a
+                    # color's own prediction equals base exactly, so the
+                    # gate closes precisely when no candidate is
+                    # predicted to improve by more than the margin; a
                     # SMALLER margin is safer (more visits fully scored),
                     # at the cost of fewer skips.
                     gate_open = (
