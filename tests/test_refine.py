@@ -425,3 +425,80 @@ def test_channel_window_slot_visit(small_image):
     # windowed error never worse than the carried baseline semantics:
     # strict-less-than acceptance keeps the current color on no-improve
     assert float(res.error) <= float(error_of(st, cfg, refp)) + 1e-4
+
+
+def test_gate_margin_slot_visit(small_image):
+    """The rank1 visit gate (QuantConfig.gate_margin): an open gate must
+    reproduce the ungated visit exactly (same palette, same carried
+    error) and return the accepted state's scale-0 weighted sum as the
+    new carry; a prohibitively large margin must close the gate — visit
+    rejected with state, error, and carry unchanged."""
+    from snesimage_tpu.core.refine import (
+        _gating_active,
+        _slot_channel,
+        frame_error_fused,
+        gate_base_fused,
+    )
+
+    st, cfg = _prepped(
+        small_image, prescreen=8, prescreen_full=3, gate_margin=0.01
+    )
+    assert _gating_active(cfg)
+    refp = make_reference_pyramid(st)
+    base = frame_error_fused(st, cfg, refp)
+    gb = gate_base_fused(st, cfg, refp)
+    for p, i, ch in [(0, 1, 0), (1, 2, 1), (1, 3, 2)]:
+        plain, _, _ = _slot_channel(st, cfg, refp, p, i, ch, None, base)
+        gated, _, gb2 = _slot_channel(
+            st, cfg, refp, p, i, ch, None, base, gate_base=gb
+        )
+        # the fixture's early visits improve by >> margin: gate opens and
+        # the gated visit picks the same color (the carried error may
+        # differ by f32 compilation noise: the gated scale-0 stage is
+        # traced as ONE fused computation under lax.cond, the plain one
+        # executes op-by-op here — ~1e-5 on errors of ~170)
+        assert bool(plain.changed), (p, i, ch)
+        np.testing.assert_array_equal(
+            np.asarray(plain.state.palette), np.asarray(gated.state.palette)
+        )
+        assert abs(float(plain.error) - float(gated.error)) < 1e-3
+        # the carry update equals the accepted state's own scale-0 sum
+        want_carry = float(gate_base_fused(gated.state, cfg, refp))
+        assert abs(float(gb2) - want_carry) < 1e-3 * abs(want_carry)
+
+    cfg_closed = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3, gate_margin=1e6,
+    )
+    for p, i, ch in [(0, 1, 0), (1, 2, 1)]:
+        res, _, gb2 = _slot_channel(
+            st, cfg_closed, refp, p, i, ch, None, base, gate_base=gb
+        )
+        assert not bool(res.changed)
+        np.testing.assert_array_equal(
+            np.asarray(res.state.palette), np.asarray(st.palette)
+        )
+        assert float(res.error) == float(base)
+        assert float(gb2) == float(gb)
+
+
+def test_gate_margin_sweep_quality(small_image):
+    """A gated full channel sweep must stay close to the ungated sweep's
+    error on the fixture (the gate only skips visits whose predicted
+    improvement is below the margin) and never worsen the incoming
+    error."""
+    from snesimage_tpu.core.refine import sweep_channel, frame_error_fused
+
+    st, cfg0 = _prepped(small_image, prescreen=8, prescreen_full=3)
+    cfg1 = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3, gate_margin=0.05,
+    )
+    refp = make_reference_pyramid(st)
+    base = float(frame_error_fused(st, cfg0, refp))
+    plain = sweep_channel(st, cfg0, refp)
+    gated = sweep_channel(st, cfg1, refp)
+    assert float(gated.error) <= base + 1e-5
+    assert abs(float(gated.error) - float(plain.error)) < 0.5, (
+        float(gated.error), float(plain.error),
+    )
