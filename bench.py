@@ -55,10 +55,16 @@ def main() -> None:
     # error points vs that schedule's seed band (113.4-115.8); see the
     # round-3 frontier table in BENCHMARKS.md, including the
     # --channel-explore recipe that closes most of the gap at 2.3 s.
+    # gate_margin=0.01: the rank1 visit gate skips the finest-scale
+    # scoring of visits whose predicted improvement is < 0.01 error.
+    # Validated across content types (BENCHMARKS.md "Rank1 visit
+    # gating"): ~20% faster AND equal-or-better plateaus at <= 0.01
+    # (filtering weak greedy accepts steers the coordinate descent into
+    # better local optima); margins >= 0.02 degrade quality.
     config = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=10,
         converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
-        prescreen_full=2,
+        prescreen_full=2, gate_margin=0.01,
     )
     img = _test_image()
 
