@@ -150,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(validated margins in BENCHMARKS.md)",
     )
     p.add_argument(
+        "--accept-margin", type=float, default=0.0, metavar="T",
+        help="Accept a candidate only if it improves the exact error by "
+        "more than T (0 = reference strict-less-than rule). Filtering "
+        "weak accepts can steer the descent out of poor local optima; "
+        "applies to random/channel visits on any schedule, never to the "
+        "always-replace NES sweep",
+    )
+    p.add_argument(
         "--trials", type=int, default=64,
         help="Random candidates per slot visit (reference: 64)",
     )
@@ -244,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
                 prescreen=args.prescreen,
                 prescreen_full=args.prescreen_full,
                 gate_margin=args.gate_margin,
+                accept_margin=args.accept_margin,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

@@ -110,6 +110,14 @@ class QuantConfig:
     # candidates, so a regression is impossible. Validated margins: see
     # BENCHMARKS.md.
     gate_margin: float = 0.0
+    # Exact accept threshold (extension, all strict-less-than paths —
+    # random and channel visits, any schedule, prescreened or not; NES
+    # keeps its always-replace semantics): accept a candidate only if it
+    # improves the exact error by MORE than this. 0 = the reference's
+    # plain strict-less-than rule. Filtering weak accepts can steer the
+    # coordinate descent out of poor local optima (BENCHMARKS.md); unlike
+    # gate_margin it never skips scoring work — pure quality knob.
+    accept_margin: float = 0.0
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:
@@ -126,6 +134,8 @@ class QuantConfig:
             raise ValueError("channel_explore must be >= 0")
         if self.gate_margin < 0:
             raise ValueError("gate_margin must be >= 0")
+        if self.accept_margin < 0:
+            raise ValueError("accept_margin must be >= 0")
         if not 0 <= self.channel_window <= 15:
             raise ValueError("channel_window must be in [0, 15]")
         if self.channel_window and self.channel_window_period < 2:
@@ -147,6 +157,27 @@ class QuantConfig:
                 self.prescreen_full,
             )
             object.__setattr__(self, "prescreen_full", 4)
+        if self.gate_margin > 0 and (
+            self.channel_explore > 0 or 0 < self.converge_tol < 0.25
+        ):
+            # (converge_tol == 0 disables the plateau test entirely —
+            # a fixed step budget — and is not a deep-quality run.)
+            # Measured (BENCHMARKS.md "Rank1 visit gating"): the gate's
+            # scale-1..5 prediction blocks the small/scale-0-heavy
+            # improvements that deep quality runs (tight tol,
+            # channel-explore joint-RGB jumps) live on — plateaus fire
+            # 2x early, losing up to ~8 error. Warn-and-disable instead
+            # of erroring so speed-tuned configs stay usable.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "gate_margin=%g with %s loses quality (premature plateau, "
+                "BENCHMARKS.md); disabling the gate",
+                self.gate_margin,
+                "channel_explore" if self.channel_explore > 0
+                else f"converge_tol={self.converge_tol}",
+            )
+            object.__setattr__(self, "gate_margin", 0.0)
 
     @property
     def width_tiles(self) -> int:

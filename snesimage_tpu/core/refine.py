@@ -736,9 +736,17 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
 
 def _pick(
     errors, apply, new_cache, refp, cand5, current, base_err,
-    gate_base=None, skip=None,
+    gate_base=None, skip=None, accept_margin=0.0,
 ):
     """Shared accept/apply tail for the strict-less-than slot visits.
+
+    ``accept_margin`` (extension, QuantConfig.accept_margin): accept only
+    improvements strictly larger than this threshold (0 = the reference's
+    plain strict-less-than rule). Filtering weak greedy accepts measurably
+    steers the descent out of poor local optima on some contents (see
+    BENCHMARKS.md "Rank1 visit gating" — the gate produces the same
+    filtering as a side effect); this knob applies it on the EXACT path,
+    for any schedule and with or without prescreening.
 
     With ``base_err=None`` (legacy / public per-slot API) the baseline is
     evaluated inside the same batch as the candidates, mirroring the
@@ -778,7 +786,10 @@ def _pick(
         cand_errs = errors(refp, cand5, carried_base=True)
     bidx = jnp.argmin(cand_errs)
     bmin = cand_errs[bidx]
-    accept = bmin < base
+    if accept_margin:
+        accept = bmin < base - jnp.float32(accept_margin)
+    else:
+        accept = bmin < base
     color = jnp.where(accept, cand5[bidx], current)
     changed = accept & jnp.any(color != current)
     err_out = jnp.where(changed, jnp.minimum(bmin, base), base)
@@ -810,7 +821,7 @@ def _slot_random(
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     return _pick(
         errors, apply, new_cache, refp, rand5, current, base_err,
-        gate_base, (state, cache) if skip else None,
+        gate_base, (state, cache) if skip else None, config.accept_margin,
     )
 
 
@@ -856,7 +867,7 @@ def _slot_channel(
     errors, apply, new_cache = _slot_machinery(state, config, p, i, cache)
     return _pick(
         errors, apply, new_cache, refp, sweep5, current, base_err,
-        gate_base, (state, cache) if skip else None,
+        gate_base, (state, cache) if skip else None, config.accept_margin,
     )
 
 

@@ -310,3 +310,18 @@ def test_config_guard_perceptual_prescreen_full():
     assert cfg.prescreen_full == 2
     cfg = QuantConfig(perceptual_palettes=True)  # 0 = disabled: untouched
     assert cfg.prescreen_full == 0
+
+
+def test_config_guard_gate_margin_deep_runs():
+    """gate_margin with channel_explore or a tight converge_tol is a
+    measured quality loss (premature plateau, BENCHMARKS.md); the config
+    warns and disables the gate."""
+    cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      channel_explore=16)
+    assert cfg.gate_margin == 0.0
+    cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      converge_tol=0.1)
+    assert cfg.gate_margin == 0.0
+    cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      converge_tol=0.5)
+    assert cfg.gate_margin == 0.01

@@ -502,3 +502,38 @@ def test_gate_margin_sweep_quality(small_image):
     assert abs(float(gated.error) - float(plain.error)) < 0.5, (
         float(gated.error), float(plain.error),
     )
+
+
+def test_accept_margin(small_image):
+    """QuantConfig.accept_margin: a prohibitive threshold rejects every
+    candidate (state unchanged, carried error preserved); margin 0 is
+    bit-identical to the default strict-less-than rule."""
+    from snesimage_tpu.core.refine import _slot_channel, frame_error_fused
+
+    st, cfg0 = _prepped(small_image)
+    cfg_hi = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        accept_margin=1e6,
+    )
+    refp = make_reference_pyramid(st)
+    base = frame_error_fused(st, cfg0, refp)
+    for p, i, ch in [(0, 1, 0), (1, 2, 1)]:
+        plain, _, _ = _slot_channel(st, cfg0, refp, p, i, ch, None, base)
+        assert bool(plain.changed)
+        res, _, _ = _slot_channel(st, cfg_hi, refp, p, i, ch, None, base)
+        assert not bool(res.changed)
+        np.testing.assert_array_equal(
+            np.asarray(res.state.palette), np.asarray(st.palette)
+        )
+        assert float(res.error) == float(base)
+
+    cfg_zero = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        accept_margin=0.0,
+    )
+    a, _, _ = _slot_channel(st, cfg0, refp, 0, 1, 0, None, base)
+    b, _, _ = _slot_channel(st, cfg_zero, refp, 0, 1, 0, None, base)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.palette), np.asarray(b.state.palette)
+    )
+    assert float(a.error) == float(b.error)
