@@ -114,9 +114,12 @@ class QuantConfig:
     # random and channel visits, any schedule, prescreened or not; NES
     # keeps its always-replace semantics): accept a candidate only if it
     # improves the exact error by MORE than this. 0 = the reference's
-    # plain strict-less-than rule. Filtering weak accepts can steer the
-    # coordinate descent out of poor local optima (BENCHMARKS.md); unlike
-    # gate_margin it never skips scoring work — pure quality knob.
+    # plain strict-less-than rule. Unlike gate_margin it never skips
+    # scoring work — a pure acceptance knob. Measured (BENCHMARKS.md):
+    # weaker than the gate's prediction-based filter at equal thresholds
+    # (it also rejects genuine multi-scale progress); 0.005 was mildly
+    # beneficial, 0.01 mixed. Prefer gate_margin where prescreening is
+    # on; this knob exists for no-prescreen schedules.
     accept_margin: float = 0.0
 
     def __post_init__(self):
