@@ -49,6 +49,35 @@ def setup_logger(level: int = logging.INFO) -> None:
     logging.getLogger("snesimage_tpu").setLevel(level)
 
 
+# Optimizer profiles: the measured schedule/prescreen/stop recipes from
+# BENCHMARKS.md, name -> (description, QuantConfig fields). 'reference'
+# pins the reference-parity defaults by name (empty: QuantConfig's
+# defaults ARE the reference semantics).
+OPT_PROFILES: dict[str, tuple[str, dict]] = {
+    "reference": (
+        "reference 4-random/1-channel schedule, full scoring",
+        {},
+    ),
+    "fast": (
+        "channel descent + two-level prescreen + rank1 gate, tol 0.5 "
+        "(the headline ~1 s configuration)",
+        dict(
+            schedule="channel", prescreen=8, prescreen_full=2,
+            gate_margin=0.01, converge_tol=0.5, max_steps=10,
+        ),
+    ),
+    "quality": (
+        "channel descent + prescreen + 16 explore candidates, tol 0.1 "
+        "(reaches/beats the reference schedule's plateau band at a "
+        "fraction of its time)",
+        dict(
+            schedule="channel", prescreen=8, prescreen_full=2,
+            channel_explore=16, converge_tol=0.1, max_steps=14,
+        ),
+    ),
+}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="snesimage-tpu",
@@ -96,36 +125,49 @@ def build_parser() -> argparse.ArgumentParser:
         "--nes flags override preset fields",
     )
     p.add_argument(
-        "--steps", type=int, default=8,
-        help="Full optimization sweeps (the reference runs forever)",
+        "--opt-profile", choices=sorted(OPT_PROFILES),
+        help="Optimizer profile: the measured schedule/prescreen/stop "
+        "recipes from BENCHMARKS.md — 'reference' (the reference's "
+        "4-random/1-channel cycle, full scoring), 'fast' (channel "
+        "descent + two-level prescreen + rank1 gate, tol 0.5: the "
+        "headline ~1 s configuration), 'quality' (channel descent + "
+        "prescreen + 16 joint-RGB explore candidates per visit, tol "
+        "0.1: reaches/beats the reference schedule's plateau band in a "
+        "fraction of its time). Explicit flags override profile fields",
     )
     p.add_argument(
-        "--tol", type=float, default=0.0,
-        help="Stop when a full sweep improves error by less than this",
+        "--steps", type=int, default=None,
+        help="Full optimization sweeps (the reference runs forever; "
+        "default 8)",
+    )
+    p.add_argument(
+        "--tol", type=float, default=None,
+        help="Stop when a full sweep improves error by less than this "
+        "(default 0 = fixed step budget)",
     )
     p.add_argument("--seed", type=int, default=0, help="Random-search seed")
     p.add_argument(
-        "--prescreen", type=int, default=0, metavar="K",
+        "--prescreen", type=int, default=None, metavar="K",
         help="Coarse-rank candidates and full-score only the top K "
         "(0 = full scoring everywhere; measured to preserve selections "
         "while skipping ~3/4 of the metric work on non-finalists)",
     )
     p.add_argument(
-        "--prescreen-full", type=int, default=0, metavar="M",
+        "--prescreen-full", type=int, default=None, metavar="M",
         help="With --prescreen: rank finalists by their exact scale-1..5 "
         "score and run the full metric's finest scale only on the top M "
         "(0 = full-score every finalist; 2 is plateau-identical for "
         "red-mean runs, use >= 4 with --perceptual-palettes)",
     )
     p.add_argument(
-        "--schedule", choices=["reference", "channel"], default="reference",
+        "--schedule", choices=["reference", "channel"], default=None,
         help="Step schedule: the reference's 4-random/1-channel cycle, or "
         "pure channel sweeps (coordinate descent; converges several times "
         "faster — pair with --channel-explore to escape its local minima; "
         "see BENCHMARKS.md)",
     )
     p.add_argument(
-        "--channel-explore", type=int, default=0, metavar="E",
+        "--channel-explore", type=int, default=None, metavar="E",
         help="Add E random full-RGB candidates to every channel visit's "
         "32-value sweep (escapes coordinate-descent local minima at a "
         "fraction of a random step's cost; 0 = deterministic sweeps)",
@@ -140,7 +182,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = all sweeps exhaustive)",
     )
     p.add_argument(
-        "--gate-margin", type=float, default=0.0, metavar="G",
+        "--gate-margin", type=float, default=None, metavar="G",
         help="With --prescreen-full (undithered): skip a visit's exact "
         "scale-0 scoring unless its best finalist's predicted full "
         "error (carried scale-0 term + exact scale-1..5 score) beats "
@@ -240,18 +282,32 @@ def main(argv: list[str] | None = None) -> int:
             errors = list(meta["errors"])
         else:
             geometry = merge_geometry(args)
+            # Optimizer fields: explicit flags (non-None sentinels)
+            # override --opt-profile fields; anything else falls to
+            # QuantConfig defaults (which equal the reference-parity
+            # 'reference' profile).
+            opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
+            opt.update(
+                {
+                    k: v
+                    for k, v in dict(
+                        max_steps=args.steps,
+                        converge_tol=args.tol,
+                        schedule=args.schedule,
+                        channel_explore=args.channel_explore,
+                        prescreen=args.prescreen,
+                        prescreen_full=args.prescreen_full,
+                        gate_margin=args.gate_margin,
+                    ).items()
+                    if v is not None
+                }
+            )
             config = QuantConfig(
                 **geometry,
+                **opt,
                 seed=args.seed,
-                max_steps=args.steps,
-                converge_tol=args.tol,
                 random_trials=args.trials,
-                schedule=args.schedule,
-                channel_explore=args.channel_explore,
                 channel_window=args.channel_window,
-                prescreen=args.prescreen,
-                prescreen_full=args.prescreen_full,
-                gate_margin=args.gate_margin,
                 accept_margin=args.accept_margin,
             )
             log.info("Using source image: %s", args.source_filename)

@@ -153,3 +153,41 @@ def test_shard_paths_round_robin():
     with pytest.raises(ValueError):
         shard_paths(paths, 3, 3)
     assert shard_paths(paths, 1, 0) == paths
+
+
+def test_opt_profile_resolution():
+    """--opt-profile applies the measured recipe; explicit flags override
+    individual profile fields; no profile keeps reference defaults."""
+    from snesimage_tpu.cli import OPT_PROFILES, build_parser
+    from snesimage_tpu.config import QuantConfig
+
+    def resolve(argv):
+        a = build_parser().parse_args(argv)
+        opt = dict(OPT_PROFILES[a.opt_profile][1]) if a.opt_profile else {}
+        opt.update({
+            k: v for k, v in dict(
+                max_steps=a.steps, converge_tol=a.tol, schedule=a.schedule,
+                channel_explore=a.channel_explore, prescreen=a.prescreen,
+                prescreen_full=a.prescreen_full, gate_margin=a.gate_margin,
+            ).items() if v is not None
+        })
+        return QuantConfig(**opt)
+
+    cfg = resolve(["a", "b"])
+    assert cfg.schedule == "reference" and cfg.prescreen == 0
+    assert cfg.max_steps == 8 and cfg.converge_tol == 0.0
+
+    cfg = resolve(["a", "b", "--opt-profile", "fast"])
+    assert cfg.schedule == "channel" and cfg.prescreen == 8
+    assert cfg.prescreen_full == 2 and cfg.gate_margin == 0.01
+    assert cfg.converge_tol == 0.5 and cfg.max_steps == 10
+
+    cfg = resolve(["a", "b", "--opt-profile", "quality"])
+    assert cfg.channel_explore == 16 and cfg.converge_tol == 0.1
+    assert cfg.gate_margin == 0.0  # config guard: no gate on deep runs
+
+    # explicit flag beats the profile field
+    cfg = resolve(["a", "b", "--opt-profile", "fast", "--tol", "0.3",
+                   "--prescreen", "12"])
+    assert cfg.converge_tol == 0.3 and cfg.prescreen == 12
+    assert cfg.schedule == "channel"  # untouched profile field survives
