@@ -67,12 +67,13 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
         ),
     ),
     "quality": (
-        "channel descent + prescreen + 16 explore candidates, tol 0.1 "
-        "(reaches/beats the reference schedule's plateau band at a "
-        "fraction of its time)",
+        "channel descent + prescreen + 16 explore candidates + exact "
+        "accept threshold 0.005, tol 0.1 (beats the reference "
+        "schedule's plateau band at a fraction of its time)",
         dict(
             schedule="channel", prescreen=8, prescreen_full=2,
             channel_explore=16, converge_tol=0.1, max_steps=14,
+            accept_margin=0.005,
         ),
     ),
 }
@@ -192,7 +193,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(validated margins in BENCHMARKS.md)",
     )
     p.add_argument(
-        "--accept-margin", type=float, default=0.0, metavar="T",
+        "--accept-margin", type=float, default=None, metavar="T",
         help="Accept a candidate only if it improves the exact error by "
         "more than T (0 = reference strict-less-than rule). Filtering "
         "weak accepts can steer the descent out of poor local optima; "
@@ -298,6 +299,7 @@ def main(argv: list[str] | None = None) -> int:
                         prescreen=args.prescreen,
                         prescreen_full=args.prescreen_full,
                         gate_margin=args.gate_margin,
+                        accept_margin=args.accept_margin,
                     ).items()
                     if v is not None
                 }
@@ -308,7 +310,6 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 random_trials=args.trials,
                 channel_window=args.channel_window,
-                accept_margin=args.accept_margin,
             )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)

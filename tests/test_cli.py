@@ -169,6 +169,7 @@ def test_opt_profile_resolution():
                 max_steps=a.steps, converge_tol=a.tol, schedule=a.schedule,
                 channel_explore=a.channel_explore, prescreen=a.prescreen,
                 prescreen_full=a.prescreen_full, gate_margin=a.gate_margin,
+                accept_margin=a.accept_margin,
             ).items() if v is not None
         })
         return QuantConfig(**opt)
@@ -185,6 +186,10 @@ def test_opt_profile_resolution():
     cfg = resolve(["a", "b", "--opt-profile", "quality"])
     assert cfg.channel_explore == 16 and cfg.converge_tol == 0.1
     assert cfg.gate_margin == 0.0  # config guard: no gate on deep runs
+    assert cfg.accept_margin == 0.005
+    cfg = resolve(["a", "b", "--opt-profile", "quality",
+                   "--accept-margin", "0"])
+    assert cfg.accept_margin == 0.0  # explicit 0 overrides the profile
 
     # explicit flag beats the profile field
     cfg = resolve(["a", "b", "--opt-profile", "fast", "--tol", "0.3",
