@@ -1,6 +1,12 @@
-"""Gate-margin experiment: quality/speed across contents (throwaway)."""
+"""Gate/accept-margin experiment harness: timed margin sweeps across
+three content types (gradient / photo-like / flat poster). Produced the
+margin tables in BENCHMARKS.md "Rank1 visit gating". Run from the repo
+root: python tools/margin_exp.py gate 0.0 0.01 0.05"""
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,11 +1,14 @@
-"""Gate-margin QUALITY experiment (throwaway): single rep per config —
+"""Gate-margin QUALITY experiment: single rep per config —
 final plateau error is deterministic, so speed-only reps are skipped.
 Run on CPU while the TPU tunnel is down; timing fields are meaningless."""
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
-from _exp_gate import CONTENTS
+from margin_exp import CONTENTS
 from snesimage_tpu.config import QuantConfig
 from snesimage_tpu.core import pipeline
 from snesimage_tpu.utils.cache import enable_compile_cache
