@@ -480,7 +480,7 @@ def _undithered_machinery(
                     # carried b0 shifts every candidate's weighted sum by
                     # the same constant, and the score nonlinearity is
                     # monotone over the operating range).
-                    b0, base_full = gate
+                    b0, base_full, gate_enable = gate
                     rank1 = 100.0 - score_from_ssim_sum(b0 + s15)
                 else:
                     rank1 = 100.0 - score_from_ssim_sum(s15)
@@ -519,7 +519,15 @@ def _undithered_machinery(
                     # predicted to improve by more than the margin; a
                     # SMALLER margin is safer (more visits fully scored),
                     # at the cost of fewer skips.
-                    gate_open = (
+                    # ``gate_enable=False`` forces the gate open: the
+                    # visit scores exactly — the sweeps' EXACT
+                    # confirmation mode (pipeline._optimize_fused runs an
+                    # ungated sweep before any stop fires, because on
+                    # hard-edged content gated sweeps can starve: the
+                    # improvements are scale-0-dominated and invisible to
+                    # the prediction — measured +27 error on a text/UI
+                    # image without confirmation, BENCHMARKS.md).
+                    gate_open = ~gate_enable | (
                         jnp.min(rank1) - base_full
                         < -jnp.float32(config.gate_margin)
                     )
@@ -736,7 +744,7 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
 
 def _pick(
     errors, apply, new_cache, refp, cand5, current, base_err,
-    gate_base=None, skip=None, accept_margin=0.0,
+    gate_base=None, skip=None, accept_margin=0.0, gate_enable=None,
 ):
     """Shared accept/apply tail for the strict-less-than slot visits.
 
@@ -778,8 +786,11 @@ def _pick(
         cand_errs = errs[1:]
     elif gate_base is not None:
         base = base_err
+        if gate_enable is None:
+            gate_enable = jnp.bool_(True)
         cand_errs, s0_vec = errors(
-            refp, cand5, carried_base=True, gate=(gate_base, base_err)
+            refp, cand5, carried_base=True,
+            gate=(gate_base, base_err, gate_enable),
         )
     else:
         base = base_err
@@ -812,7 +823,7 @@ def _pick(
 
 def _slot_random(
     state: QuantState, config: QuantConfig, refp, key, p, i, cache=None,
-    base_err=None, gate_base=None, skip=False,
+    base_err=None, gate_base=None, skip=False, gate_enable=None,
 ):
     """64 uniform-random 5-bit candidates; keep the best only if it beats
     the current error (src/lib.rs:191-240). Baseline handling: _pick."""
@@ -822,12 +833,14 @@ def _slot_random(
     return _pick(
         errors, apply, new_cache, refp, rand5, current, base_err,
         gate_base, (state, cache) if skip else None, config.accept_margin,
+        gate_enable,
     )
 
 
 def _slot_channel(
     state: QuantState, config: QuantConfig, refp, p, i, channel, cache=None,
     base_err=None, key=None, window=False, gate_base=None, skip=False,
+    gate_enable=None,
 ):
     """Exhaustive sweep of one channel's 32 values (src/lib.rs:286-328).
     Baseline handling: _pick (the current color is among the 32 sweep
@@ -868,6 +881,7 @@ def _slot_channel(
     return _pick(
         errors, apply, new_cache, refp, sweep5, current, base_err,
         gate_base, (state, cache) if skip else None, config.accept_margin,
+        gate_enable,
     )
 
 
@@ -953,7 +967,8 @@ def _init_cache(state: QuantState, config: QuantConfig):
 
 @partial(jax.jit, static_argnames=("config",))
 def sweep_random(
-    state: QuantState, config: QuantConfig, refp, key, base_err=None
+    state: QuantState, config: QuantConfig, refp, key, base_err=None,
+    use_gate=None,
 ) -> SlotResult:
     """One full random step: every (palette, index) slot once
     (src/lib.rs:888-932, steps with step % 5 < 4).
@@ -963,7 +978,9 @@ def sweep_random(
     then carries the exact post-visit error forward, so no visit ever
     re-scores the current color as an in-batch baseline. With gating
     (QuantConfig.gate_margin) the current state's scale-0 weighted sum
-    rides the carry too (see _pick / gate_base_fused)."""
+    rides the carry too (see _pick / gate_base_fused); ``use_gate=False``
+    (a dynamic scalar) forces every visit exact — the fused loop's
+    confirmation sweeps before any convergence stop."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
@@ -972,13 +989,14 @@ def sweep_random(
         if _gating_active(config)
         else None
     )
+    enable = jnp.bool_(True) if use_gate is None else jnp.asarray(use_gate)
 
     def body(k, carry):
         state, key, err, cache, gb = carry
         key, sub = jax.random.split(key)
         res, cache, gb = _slot_random(
             state, config, refp, sub, k // s, k % s, cache, err, gb,
-            skip=True,
+            skip=True, gate_enable=enable,
         )
         return res.state, key, res.error, cache, gb
 
@@ -992,7 +1010,7 @@ def sweep_random(
 @partial(jax.jit, static_argnames=("config", "window"))
 def sweep_channel(
     state: QuantState, config: QuantConfig, refp, base_err=None, key=None,
-    window=False,
+    window=False, use_gate=None,
 ) -> SlotResult:
     """One full channel step: every slot visited for channels 0,1,2 in
     sequence (src/lib.rs:917-923). Carried baseline: see sweep_random.
@@ -1000,7 +1018,9 @@ def sweep_channel(
     With `config.channel_explore > 0` and a `key`, every visit draws
     that many extra random full-RGB candidates (split-per-visit stream,
     same discipline as sweep_random). ``window=True`` makes every visit
-    windowed (see _slot_channel)."""
+    windowed (see _slot_channel); ``use_gate=False`` (a dynamic scalar)
+    forces every visit exact — the fused loop's confirmation sweeps
+    before any convergence stop."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
@@ -1010,6 +1030,7 @@ def sweep_channel(
         if _gating_active(config)
         else None
     )
+    enable = jnp.bool_(True) if use_gate is None else jnp.asarray(use_gate)
 
     def body(k, carry):
         state, err, cache, key, gb = carry
@@ -1021,7 +1042,7 @@ def sweep_channel(
             key, sub = jax.random.split(key)
         res, cache, gb = _slot_channel(
             state, config, refp, p, i, ch, cache, err, key=sub,
-            window=window, gate_base=gb, skip=True,
+            window=window, gate_base=gb, skip=True, gate_enable=enable,
         )
         return res.state, res.error, cache, key, gb
 

@@ -120,17 +120,22 @@ def bslot_nes(states, config: QuantConfig, refp, p, i):
     )
 
 
+# The batched paths pass use_gate=False everywhere: under vmap the
+# gate's lax.cond lowers to a select that computes both branches, so
+# there is no speed win — only the content-dependent quality risk of
+# skipped visits (and the batched loop has no exact-confirmation stop).
+# Batched sweeps therefore always score exactly.
 @partial(jax.jit, static_argnames=("config",))
 def bsweep_random(states, config: QuantConfig, refp, keys):
     """One full random step for every image, fully on-device."""
-    return jax.vmap(lambda s, r, k: refine.sweep_random(s, config, r, k))(
+    return jax.vmap(lambda s, r, k: refine.sweep_random(s, config, r, k, use_gate=False))(
         states, refp, keys
     )
 
 
 @partial(jax.jit, static_argnames=("config",))
 def bsweep_channel(states, config: QuantConfig, refp):
-    return jax.vmap(lambda s, r: refine.sweep_channel(s, config, r))(states, refp)
+    return jax.vmap(lambda s, r: refine.sweep_channel(s, config, r, use_gate=False))(states, refp)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -172,7 +177,7 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
                 states, cur = operand
                 res = jax.vmap(
                     lambda s, r, e: refine.sweep_channel(
-                        s, config, r, e, window=window
+                        s, config, r, e, window=window, use_gate=False
                     )
                 )(states, refp, cur)
                 return res.state, res.error
@@ -193,14 +198,14 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
             res = jax.vmap(
-                lambda s, r, k, e: refine.sweep_random(s, config, r, k, e)
+                lambda s, r, k, e: refine.sweep_random(s, config, r, k, e, use_gate=False)
             )(states, refp, keys, cur)
             return res.state, res.error, key
 
         def do_channel(operand):
             states, key, cur = operand
             res = jax.vmap(
-                lambda s, r, e: refine.sweep_channel(s, config, r, e)
+                lambda s, r, e: refine.sweep_channel(s, config, r, e, use_gate=False)
             )(states, refp, cur)
             return res.state, res.error, key
 

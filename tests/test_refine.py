@@ -537,3 +537,35 @@ def test_accept_margin(small_image):
         np.asarray(a.state.palette), np.asarray(b.state.palette)
     )
     assert float(a.error) == float(b.error)
+
+
+def test_gate_exact_confirmation_stop(small_image):
+    """The fused loop must not stop on a starved GATED sweep: an
+    aggressively large margin starves every gated sweep from step 0, so
+    without confirmation the run would freeze at the initial error.
+    With confirmation, alternating exact sweeps must drive the error to
+    (approximately) the ungated plateau."""
+    cfg_gate = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3, gate_margin=10.0, max_steps=8,
+        converge_tol=0.5, schedule="channel",
+    )
+    cfg_plain = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3, max_steps=8,
+        converge_tol=0.5, schedule="channel",
+    )
+    st0 = new_state(small_image, cfg_plain)
+    st0 = pipeline.initialize(st0, cfg_plain)
+    st0 = pipeline.cluster(st0, cfg_plain)
+    refp = make_reference_pyramid(st0)
+    start = float(error_of(st0, cfg_plain, refp))
+
+    st_g, errs_g = pipeline.optimize(st0, cfg_gate, refp=refp)
+    st_p, errs_p = pipeline.optimize(st0, cfg_plain, refp=refp)
+    e_g = float(error_of(st_g, cfg_gate, refp))
+    e_p = float(error_of(st_p, cfg_plain, refp))
+    # every gated sweep starves at margin 10 -> all progress comes from
+    # the exact confirmation sweeps; without them e_g would equal start
+    assert e_g < start - 1.0, (e_g, start)
+    assert e_g < e_p + 1.0, (e_g, e_p)
