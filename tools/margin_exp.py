@@ -46,10 +46,40 @@ def poster_image(seed=5):
     return img
 
 
+def text_ui_image(seed=7):
+    """Hard-edged UI/text-like content: panels, 1px rules, checkerboard
+    textures, glyph-ish speckle. Improvements here are scale-0-dominated
+    — the rank1 gate's blind spot (found the +27-error premature-stop
+    failure that motivated the EXACT-confirmation stop rule)."""
+    rng = np.random.default_rng(seed)
+    h = w = 256
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., :3] = 24
+    for _ in range(10):
+        cy, cx = rng.integers(0, h - 40, 2)
+        hh, ww = rng.integers(30, 100, 2)
+        img[cy:cy + hh, cx:cx + ww, :3] = rng.integers(40, 230, 3)
+    for _ in range(30):
+        y = rng.integers(0, h)
+        x0, x1 = sorted(rng.integers(0, w, 2))
+        img[y, x0:x1, :3] = rng.integers(0, 256, 3)
+    for _ in range(6):
+        cy, cx = rng.integers(0, h - 32, 2)
+        yy, xx = np.mgrid[0:32, 0:32]
+        mask = ((yy + xx) % 2).astype(bool)
+        img[cy:cy + 32, cx:cx + 32, :3][mask] = rng.integers(0, 256, 3)
+    for row in range(16, 240, 24):
+        cols = rng.integers(0, w, 300)
+        img[row:row + 6, cols % w, :3] = 235
+    img[..., 3] = 255
+    return img
+
+
 CONTENTS = {
     "gradient": _test_image(),
     "photo": photo_image(),
     "poster": poster_image(),
+    "text-ui": text_ui_image(),
 }
 
 
