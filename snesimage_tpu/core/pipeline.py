@@ -258,27 +258,37 @@ def _optimize_fused(
     def body(carry):
         st, key, local, cur, window, errs, _, need_exact = carry
         step = start_step + local
-        st, full, key = step_fn(st, key, step, cur, ~need_exact)
+        is_win = (
+            _is_window_step(config, step)
+            if _windowing_active(config)
+            else jnp.bool_(False)
+        )
+        # A pending confirmation only lands on an EXHAUSTIVE sweep: a
+        # windowed sweep can never fire the stop (below), so running it
+        # exact would consume the confirmation without being able to
+        # conclude anything — measured: the stop then almost never
+        # aligns and every run churns to the step cap.
+        this_exact = need_exact & ~is_win
+        st, full, key = step_fn(st, key, step, cur, ~this_exact)
         errs = errs.at[local].set(full)
         slot = local % cycle
         prev = jax.lax.dynamic_index_in_dim(window, slot, 0, keepdims=False)
         starved = (tol > 0) & (prev - full < tol)
-        if _windowing_active(config):
-            # A windowed sweep's small delta must not fire the stop: the
-            # next exhaustive sweep may still make large-jump escapes.
-            starved = starved & ~_is_window_step(config, step)
+        # A windowed sweep's small delta must not fire the stop: the
+        # next exhaustive sweep may still make large-jump escapes.
+        starved = starved & ~is_win
         if gating:
             # EXACT confirmation before any stop: a gated sweep that
             # improves < tol does not fire the stop — it forces the NEXT
-            # sweep to run ungated (every visit fully scored), and only
-            # an exact sweep's sub-tol improvement converges the run. On
-            # hard-edged content gated sweeps can starve while real
-            # (scale-0-dominated) improvements remain — measured +27
-            # error on a text/UI image without confirmation
-            # (BENCHMARKS.md); with it, the gate is a pure speed
-            # heuristic and the stop rule stays exact.
-            done = starved & need_exact
-            need_exact = starved & ~need_exact
+            # exhaustive sweep to run ungated (every visit fully
+            # scored), and only an exact sweep's sub-tol improvement
+            # converges the run. On hard-edged content gated sweeps can
+            # starve while real (scale-0-dominated) improvements remain
+            # — measured +27 error on a text/UI image without
+            # confirmation (BENCHMARKS.md); with it, the gate is a pure
+            # speed heuristic and the stop rule stays exact.
+            done = starved & this_exact
+            need_exact = (need_exact & is_win) | (starved & ~this_exact)
         else:
             done = starved
         window = jax.lax.dynamic_update_index_in_dim(window, full, slot, 0)
@@ -446,18 +456,19 @@ def optimize(
         if on_slot is None:
             # Fast path: the whole step runs as ONE jitted fori_loop over
             # all slots (no per-slot host round-trips).
+            is_win = _is_window_step(config, step)
+            this_exact = gating and need_exact and not is_win
             if config.nes:
                 res = sweep_nes(state, config, refp)
             elif is_random:
                 res = sweep_random(
                     state, config, refp, step_key,
-                    use_gate=not need_exact if gating else None,
+                    use_gate=not this_exact if gating else None,
                 )
             else:
                 res = sweep_channel(
-                    state, config, refp, key=step_key,
-                    window=_is_window_step(config, step),
-                    use_gate=not need_exact if gating else None,
+                    state, config, refp, key=step_key, window=is_win,
+                    use_gate=not this_exact if gating else None,
                 )
             state = res.state
             err = float(res.error)
@@ -503,13 +514,16 @@ def optimize(
         )
         if gating and on_slot is None:
             # EXACT confirmation before any stop (see _optimize_fused):
-            # a starved GATED sweep forces the next sweep ungated; only
-            # an exact sweep's sub-tol improvement stops the run. (The
-            # observed per-slot path never gates, so its stop is already
-            # exact.)
-            if starved and need_exact:
+            # a starved GATED sweep forces the next EXHAUSTIVE sweep
+            # ungated; only an exact sweep's sub-tol improvement stops
+            # the run. (The observed per-slot path never gates, so its
+            # stop is already exact.)
+            this_exact = need_exact and not _is_window_step(config, step)
+            if starved and this_exact:
                 break
-            need_exact = starved and not need_exact
+            need_exact = (
+                need_exact and _is_window_step(config, step)
+            ) or (starved and not this_exact)
         elif starved:
             break
 
