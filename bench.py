@@ -9,16 +9,113 @@ within a few minutes" (README.md:52-54) — anchored at ~180 s, see
 BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Outage-proofing (round 4; VERDICT r3 weak #2): the axon TPU tunnel can
+hang *indefinitely* on backend init or on the first dispatch when the
+pool is down (observed 5+ h outages; round 3's official BENCH artifact
+was 580 s of silence, rc=1). Signals cannot interrupt a C call blocked
+inside the tunnel client, so the bounds are enforced across a PROCESS
+boundary: a parent that never imports jax spawns (a) a tiny probe child
+(backend init + one real dispatch + fetch), retried with backoff, then
+(b) the benchmark child, each under a subprocess timeout the parent can
+enforce with SIGKILL. Every failure path prints ONE diagnostic JSON line
+and exits 1 — fast, never a silent hang.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_SECONDS = 180.0  # "a few minutes" (README.md:52-54), lower bound
+
+PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+PROBE_BACKOFFS_S = (15, 45)  # between attempts 1->2 and 2->3
+RUN_TIMEOUT_S = int(
+    os.environ.get("BENCH_RUN_TIMEOUT_S", "1800")
+)  # degraded-tunnel compiles can take ~15-20 min
+
+
+def _fail(stage: str, detail: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "256x256_images_per_sec_to_converged_ssimulacra2",
+                "value": None,
+                "unit": "images/sec",
+                "vs_baseline": None,
+                "error": f"TPU unavailable at stage '{stage}': {detail[-400:]}",
+            }
+        )
+    )
+    sys.exit(1)
+
+
+def _parent() -> None:
+    """Probe the TPU (bounded, retried), then run the benchmark child."""
+    me = os.path.abspath(__file__)
+    last = "unknown"
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--probe"],
+                capture_output=True,
+                text=True,
+                timeout=PROBE_TIMEOUT_S,
+            )
+            if proc.returncode == 0:
+                break
+            last = (
+                f"probe rc={proc.returncode} "
+                f"(attempt {attempt + 1}/{PROBE_ATTEMPTS}): "
+                + proc.stderr.strip().replace("\n", " | ")[-300:]
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{PROBE_TIMEOUT_S}s (attempt {attempt + 1}/{PROBE_ATTEMPTS})"
+        if attempt < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_BACKOFFS_S[attempt])
+    else:
+        _fail("probe", last)
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, me, "--run"],
+            capture_output=True,
+            text=True,
+            timeout=RUN_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired as e:
+        _fail(
+            "run",
+            f"benchmark child hung >{RUN_TIMEOUT_S}s; stderr tail: "
+            + str((e.stderr or ""))[-300:],
+        )
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        _fail(
+            "run",
+            f"benchmark child rc={proc.returncode}: "
+            + proc.stderr.strip().replace("\n", " | ")[-300:],
+        )
+    # Forward exactly the child's JSON line (last non-empty stdout line).
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    if not lines:
+        _fail("run", "benchmark child produced no output")
+    print(lines[-1])
+
+
+def _probe() -> None:
+    """Child: init the backend and force one compile+execute+fetch."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128), jnp.float32)
+    np.asarray(x @ x)  # fence: block_until_ready is a no-op on axon
 
 
 def _test_image(seed: int = 0) -> np.ndarray:
@@ -105,4 +202,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        _probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--run":
+        main()
+    else:
+        _parent()
