@@ -32,13 +32,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dither", action="store_true", default=None)
     p.add_argument("--perceptual-palettes", action="store_true", default=None)
     p.add_argument("--nes", action="store_true", default=None)
-    p.add_argument("--steps", type=int, default=8)
+    # Optimizer knobs: None sentinels so explicit flags override
+    # --opt-profile fields (same layering as the single-image CLI).
+    p.add_argument("--steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--schedule", choices=["reference", "channel"], default="reference")
-    p.add_argument("--prescreen", type=int, default=0, metavar="K")
-    p.add_argument("--prescreen-full", type=int, default=0, metavar="M")
+    p.add_argument("--schedule", choices=["reference", "channel"], default=None)
+    p.add_argument("--prescreen", type=int, default=None, metavar="K")
+    p.add_argument("--prescreen-full", type=int, default=None, metavar="M")
+    p.add_argument(
+        "--tol", type=float, default=None,
+        help="Stop when a full sweep improves the batch-mean error by "
+        "less than this (default 0 = fixed step budget)",
+    )
+    p.add_argument(
+        "--channel-explore", type=int, default=None, metavar="E",
+        help="Add E random full-RGB candidates per channel visit "
+        "(per-image keys; see the single-image CLI)",
+    )
+    p.add_argument(
+        "--channel-window", type=int, default=0, metavar="W",
+        help="Windowed channel descent (see the single-image CLI)",
+    )
+    p.add_argument(
+        "--gate-margin", type=float, default=None, metavar="G",
+        help="Accepted for profile/recipe parity but INERT in batch mode: "
+        "under vmap the gate's skip lowers to a select that computes both "
+        "branches, so batched sweeps always score exactly",
+    )
+    p.add_argument(
+        "--accept-margin", type=float, default=None, metavar="T",
+        help="Accept a candidate only if it improves the exact error by "
+        "more than T (see the single-image CLI)",
+    )
+    from snesimage_tpu.cli import OPT_PROFILES
     from snesimage_tpu.models.presets import PRESETS
 
+    p.add_argument(
+        "--opt-profile", choices=sorted(OPT_PROFILES),
+        help="Optimizer profile (reference/fast/quality; see the "
+        "single-image CLI). Note the rank1 gate in 'fast' is inert in "
+        "batch mode (batched sweeps always score exactly)",
+    )
     p.add_argument("--preset", choices=sorted(PRESETS))
     p.add_argument("--trials", type=int, default=64)
     p.add_argument("--limit", type=int, help="Only process the first N images")
@@ -90,18 +124,40 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     try:
-        from snesimage_tpu.cli import merge_geometry
+        from snesimage_tpu.cli import OPT_PROFILES, merge_geometry
 
         geometry = merge_geometry(args)
+        opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
+        opt.update(
+            {
+                k: v
+                for k, v in dict(
+                    max_steps=args.steps,
+                    converge_tol=args.tol,
+                    schedule=args.schedule,
+                    channel_explore=args.channel_explore,
+                    prescreen=args.prescreen,
+                    prescreen_full=args.prescreen_full,
+                    gate_margin=args.gate_margin,
+                    accept_margin=args.accept_margin,
+                ).items()
+                if v is not None
+            }
+        )
         config = QuantConfig(
+            **opt,
             **geometry,
             seed=args.seed,
-            max_steps=args.steps,
             random_trials=args.trials,
-            schedule=args.schedule,
-            prescreen=args.prescreen,
-            prescreen_full=args.prescreen_full,
+            channel_window=args.channel_window,
         )
+        if config.gate_margin > 0:
+            log.info(
+                "gate_margin=%g is inert in batch mode: batched sweeps "
+                "always score exactly (the vmapped gate lowers to a "
+                "compute-both select)",
+                config.gate_margin,
+            )
         indir = pathlib.Path(args.input_dir)
         outdir = pathlib.Path(args.output_dir)
         outdir.mkdir(parents=True, exist_ok=True)
@@ -134,7 +190,11 @@ def main(argv: list[str] | None = None) -> int:
         if pad:
             images = np.concatenate([images, images[:1].repeat(pad, axis=0)])
         t0 = time.perf_counter()
-        states, errors = pb.batched_run(images, config, mesh=mesh)
+        # n_real: pad replicas are excluded from the reported and
+        # convergence-tested mean error.
+        states, errors = pb.batched_run(
+            images, config, mesh=mesh, n_real=len(paths)
+        )
         elapsed = time.perf_counter() - t0
         log.info(
             "Batch done in %.2fs (%.3f images/sec); mean error per step: %s",

@@ -225,6 +225,21 @@ def build_parser() -> argparse.ArgumentParser:
         "steps (extension; the reference only supports manual reassignment)",
     )
     p.add_argument(
+        "--reassign-tiles", metavar="FILE",
+        help="Manual tile reassignment (the reference GUI's click "
+        "interaction): a text file with one tile per line — 'x y' cycles "
+        "that tile's subpalette once (one click), 'x y palette' sets it "
+        "directly; #-comments allowed. Applied after clustering (or after "
+        "--resume), then palettes are re-fit once, before optimization",
+    )
+    p.add_argument(
+        "--dump-every", type=int, default=0, metavar="N",
+        help="Write the output JSON (and --preview/--checkpoint if given) "
+        "every N optimization steps, not just at the end — the reference "
+        "GUI writes output at any moment of its indefinite run (blue "
+        "button). Forces one host sync per step",
+    )
+    p.add_argument(
         "--profile-dir",
         help="Capture a jax.profiler trace of the optimization into this "
         "directory (view with XProf/Perfetto)",
@@ -343,6 +358,8 @@ def main(argv: list[str] | None = None) -> int:
                 not args.skip_optimize
                 and not args.verbose
                 and args.reassign_every == 0
+                and args.dump_every == 0
+                and not args.reassign_tiles
             ):
                 # Latency fast path: the whole pipeline as ONE dispatched
                 # XLA program with ONE host sync (pipeline.run_fused) —
@@ -358,6 +375,17 @@ def main(argv: list[str] | None = None) -> int:
                 state = pipeline.cluster(state, config)
                 errors = []
 
+        if args.reassign_tiles:
+            with open(args.reassign_tiles) as f:
+                assignments = pipeline.parse_reassignments(f.read())
+            state = pipeline.apply_tile_reassignments(
+                state, config, assignments
+            )
+            log.info(
+                "Applied %d tile reassignments from %s",
+                len(assignments), args.reassign_tiles,
+            )
+
         if not args.skip_optimize and not optimized:
             from snesimage_tpu.utils.profiling import trace
 
@@ -369,11 +397,32 @@ def main(argv: list[str] | None = None) -> int:
                         visit.palette, visit.index, visit.method, err,
                     )
 
+            on_step = None
+            if args.dump_every > 0:
+                def on_step(step, st, errs):
+                    if (step + 1) % args.dump_every:
+                        return
+                    write_json(args.target_filename, st, config)
+                    log.info(
+                        "Mid-run output written to %s at step %d",
+                        args.target_filename, step,
+                    )
+                    if args.checkpoint:
+                        save_checkpoint(
+                            args.checkpoint, st, config,
+                            errors=errs, step=len(errs),
+                        )
+                    if args.preview:
+                        from snesimage_tpu.preview import save_preview
+
+                        save_preview(args.preview, st, config)
+
             refp = make_reference_pyramid(state)
             with trace(args.profile_dir):
                 state, step_errors = pipeline.optimize(
                     state, config, refp=refp, start_step=len(errors),
                     reassign_every=args.reassign_every, on_slot=on_slot,
+                    on_step=on_step,
                 )
             errors.extend(step_errors)
 

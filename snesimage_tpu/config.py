@@ -160,6 +160,24 @@ class QuantConfig:
                 self.prescreen_full,
             )
             object.__setattr__(self, "prescreen_full", 4)
+        if self.gate_margin > 0 and self.channel_window > 0:
+            # Measured (BENCHMARKS.md "Gate + window stacking"): the two
+            # mechanisms fight — windowed sweeps starve the gate's
+            # carried-error updates, convergence stretches to 11-12 steps
+            # vs 7-8 for either alone, a net wall-clock LOSS. Keep the
+            # gate (the stronger, quality-validated win) and disable the
+            # window. Warn-and-disable instead of erroring so tuned
+            # configs stay usable.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "gate_margin=%g with channel_window=%d stacks to a net "
+                "slowdown (11-12 steps vs 7-8, BENCHMARKS.md); disabling "
+                "the window",
+                self.gate_margin,
+                self.channel_window,
+            )
+            object.__setattr__(self, "channel_window", 0)
         if self.gate_margin > 0 and (
             self.channel_explore > 0 or 0 < self.converge_tol < 0.25
         ):

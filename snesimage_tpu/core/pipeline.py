@@ -167,6 +167,73 @@ def reassign_tile(
     return state
 
 
+def apply_tile_reassignments(
+    state: QuantState,
+    config: QuantConfig,
+    assignments: list[tuple],
+    recluster: bool = True,
+) -> QuantState:
+    """Apply a batch of manual tile reassignments — the CLI/file surface
+    for the GUI's only state-editing interaction (clicking a tile cycles
+    its subpalette, src/lib.rs:1005-1024).
+
+    Each item is `(tile_x, tile_y)` — cycle that tile's subpalette once,
+    exactly like one GUI click — or `(tile_x, tile_y, palette)` — set it
+    directly (what a user clicking repeatedly is actually after). Applied
+    on the host in one pass (the map is a tiny int32 grid; per-element
+    device updates would cost one dispatch each), then reclustered once,
+    mirroring the reference's recalculate_palettes-after-click."""
+    tp = np.asarray(state.tile_palettes).copy()
+    for item in assignments:
+        if len(item) == 2:
+            x, y = item
+            pal = None
+        elif len(item) == 3:
+            x, y, pal = item
+        else:
+            raise ValueError(
+                f"reassignment must be (x, y) or (x, y, palette), got {item!r}"
+            )
+        if not (0 <= x < config.width_tiles and 0 <= y < config.height_tiles):
+            raise ValueError(
+                f"tile ({x}, {y}) outside the {config.width_tiles}x"
+                f"{config.height_tiles} tile grid"
+            )
+        if pal is None:
+            tp[y, x] = (tp[y, x] + 1) % config.subpalette_count
+        else:
+            if not 0 <= pal < config.subpalette_count:
+                raise ValueError(
+                    f"palette {pal} outside [0, {config.subpalette_count})"
+                )
+            tp[y, x] = pal
+    state = state._replace(tile_palettes=jnp.asarray(tp))
+    if recluster:
+        state = cluster(state, config)
+    return state
+
+
+def parse_reassignments(text: str) -> list[tuple]:
+    """Parse a tile-reassignment spec: one tile per line, `x y` (cycle
+    once) or `x y palette` (set directly); blank lines and #-comments
+    ignored."""
+    out: list[tuple] = []
+    for ln, raw in enumerate(text.splitlines(), 1):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) not in (2, 3):
+            raise ValueError(
+                f"line {ln}: expected 'x y' or 'x y palette', got {raw!r}"
+            )
+        try:
+            out.append(tuple(int(p) for p in parts))
+        except ValueError:
+            raise ValueError(f"line {ln}: non-integer field in {raw!r}")
+    return out
+
+
 @partial(jax.jit, static_argnames=("config", "cap"))
 def _optimize_fused(
     state: QuantState, config: QuantConfig, refp, max_steps, start_step, cap: int
@@ -402,8 +469,16 @@ def optimize(
     start_step: int = 0,
     reassign_every: int = 0,
     on_slot: Callable[[SlotVisit, float], None] | None = None,
+    on_step: Callable[[int, QuantState, list[float]], None] | None = None,
 ) -> tuple[QuantState, list[float]]:
     """Stage 3: the refinement loop.
+
+    `on_step(step, state, errors_so_far)` is called after every completed
+    sweep — the CLI's periodic mid-run output dump (the reference's blue
+    button writes output at any moment of its indefinite run,
+    src/lib.rs:999-1003). Like `on_slot` it forces the host-stepped loop
+    (one dispatch+sync per sweep) instead of the fully fused one, but the
+    stop rule is unchanged.
 
     Returns (final_state, per-step errors). Stops after `max_steps` full
     steps or when the EXACT post-step full-frame error improves by less
@@ -424,7 +499,12 @@ def optimize(
     if max_steps is None:
         max_steps = config.max_steps
 
-    if on_slot is None and reassign_every == 0 and max_steps > 0:
+    if (
+        on_slot is None
+        and on_step is None
+        and reassign_every == 0
+        and max_steps > 0
+    ):
         # Fully fused path: one dispatch for the whole loop (see
         # _optimize_fused). The host-stepped loop below remains for the
         # observed (-v) and periodic-reassignment modes.
@@ -505,6 +585,8 @@ def optimize(
 
         step_errors.append(err)
         log.info("step %d error: %f", step, err)
+        if on_step is not None:
+            on_step(step, state, step_errors)
         full_errors.append(float(error_of(state, config, refp)))
         starved = (
             config.converge_tol > 0

@@ -362,14 +362,19 @@ def multiscale_feature_sums(
 # ---------------------------------------------------------------------------
 
 
-def _coarse_kernel_redmean(n_scales, ref_hw, blur_sizes, r_pad):
+def _coarse_kernel_redmean(
+    n_scales, ref_hw, blur_sizes, r_pad, pre_ds=0, emit_frames=False
+):
+    n_pools = pre_ds + n_scales - 1
+    n_out = 2 if emit_frames else 1
+
     def kernel(*args):
         tg_ref, col_ref, clin_ref, bva_ref, ml_ref, ds4_ref = args[:6]
         refs = args[6 : 6 + 3 * n_scales]
         p4_ref = args[6 + 3 * n_scales]
-        pool_refs = args[7 + 3 * n_scales : 6 + 4 * n_scales]
-        blur_refs = args[6 + 4 * n_scales : -1]
-        out_ref = args[-1]
+        pool_refs = args[7 + 3 * n_scales : 7 + 3 * n_scales + n_pools]
+        blur_refs = args[7 + 3 * n_scales + n_pools : len(args) - n_out]
+        out_ref = args[len(args) - n_out]
         h, w = bva_ref.shape[1:]
         im = pl.program_id(0)
         b = pl.program_id(1)
@@ -399,11 +404,19 @@ def _coarse_kernel_redmean(n_scales, ref_hw, blur_sizes, r_pad):
             + ds4_ref[0, k]
             for k in range(3)
         ]
+        if emit_frames:
+            fr_ref = args[-1]
+            for k in range(3):
+                fr_ref[0, 0, k] = planes[k]
+        r, g, bb = planes
+        for dd in range(pre_ds):
+            pw = pool_refs[dd][:]
+            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
         out_ref[0, 0] = _scales_feature_tile(
-            planes[0], planes[1], planes[2],
+            r, g, bb,
             lambda si, j, c: refs[3 * si + j][0, c],
             n_scales, ref_hw,
-            lambda si: pool_refs[si - 1][:],
+            lambda si: pool_refs[pre_ds + si - 1][:],
             lambda sz: blur_refs[blur_sizes.index(sz)][:],
             r_pad,
         )

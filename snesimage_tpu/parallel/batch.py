@@ -151,20 +151,44 @@ def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
     return jnp.mean(errs)
 
 
-@partial(jax.jit, static_argnames=("config", "cap"))
-def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
+@partial(jax.jit, static_argnames=("config", "cap", "n_real"))
+def _boptimize_fused(
+    states, config: QuantConfig, refp, max_steps, cap: int, n_real: int
+):
     """All scheduler steps for the whole batch as ONE XLA program (a host
     sync through the tunnel costs ~200 ms; a chunked multi-step batch run
     would otherwise pay it once per step per chunk). Mirrors the schedule
     and RNG stream of the single-image fused loop: a fori_loop over steps
     with the schedule as lax.cond, so one compilation serves ANY step
     budget up to the static buffer bound `cap` (the previous Python unroll
-    recompiled per distinct max_steps and grew the program linearly)."""
+    recompiled per distinct max_steps and grew the program linearly).
+
+    `n_real`: the number of genuine images at the front of the batch —
+    callers pad to a multiple of the mesh size with replicas, and those
+    replicas must not bias the logged/convergence-tested mean error. The
+    per-step error history is the mean over the first `n_real` images only.
+
+    With `config.converge_tol > 0`, stops early when the real-mean exact
+    error improves by less than tol over one full schedule cycle
+    (pipeline._stop_cycle; same rule as the single-image fused loop, on
+    the batch mean). Batched sweeps always score exactly (use_gate=False
+    everywhere — see the note above bsweep_random), so no gated
+    exact-confirmation pass is needed before stopping. The test never
+    fires on a windowed sweep.
+
+    With `config.channel_explore > 0`, channel sweeps draw per-image
+    explore keys (split-per-step, then per image — same discipline as the
+    random sweeps' key stream)."""
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
     b = jax.tree.leaves(states)[0].shape[0]
     key0 = jax.random.key(config.seed)
     max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+    # Real-image weights: mean over the first n_real entries only.
+    w = (jnp.arange(b) < n_real).astype(jnp.float32) / jnp.float32(n_real)
+    cycle = pipeline._stop_cycle(config)
+    tol = jnp.float32(config.converge_tol)
+    explore = config.channel_explore > 0
 
     def step_fn(states, key, step, cur):
         if config.nes:
@@ -173,13 +197,26 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
             )(states, refp, cur)
             return res.state, res.error, key
         if config.schedule == "channel":
+            keys = None
+            if explore:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, b)
+
             def bchan(operand, window=False):
-                states, cur = operand
-                res = jax.vmap(
-                    lambda s, r, e: refine.sweep_channel(
-                        s, config, r, e, window=window, use_gate=False
-                    )
-                )(states, refp, cur)
+                states, cur, keys = operand
+                if explore:
+                    res = jax.vmap(
+                        lambda s, r, e, k: refine.sweep_channel(
+                            s, config, r, e, key=k, window=window,
+                            use_gate=False,
+                        )
+                    )(states, refp, cur, keys)
+                else:
+                    res = jax.vmap(
+                        lambda s, r, e: refine.sweep_channel(
+                            s, config, r, e, window=window, use_gate=False
+                        )
+                    )(states, refp, cur)
                 return res.state, res.error
 
             if pipeline._windowing_active(config):
@@ -187,10 +224,10 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
                     pipeline._is_window_step(config, step),
                     partial(bchan, window=True),
                     bchan,
-                    (states, cur),
+                    (states, cur, keys),
                 )
             else:
-                st, err = bchan((states, cur))
+                st, err = bchan((states, cur, keys))
             return st, err, key
 
         def do_random(operand):
@@ -204,9 +241,18 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
 
         def do_channel(operand):
             states, key, cur = operand
-            res = jax.vmap(
-                lambda s, r, e: refine.sweep_channel(s, config, r, e, use_gate=False)
-            )(states, refp, cur)
+            if explore:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, b)
+                res = jax.vmap(
+                    lambda s, r, k, e: refine.sweep_channel(
+                        s, config, r, e, key=k, use_gate=False
+                    )
+                )(states, refp, keys, cur)
+            else:
+                res = jax.vmap(
+                    lambda s, r, e: refine.sweep_channel(s, config, r, e, use_gate=False)
+                )(states, refp, cur)
             return res.state, res.error, key
 
         return jax.lax.cond(
@@ -217,14 +263,20 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
         )
 
     def cond(carry):
-        _, _, local, _, _ = carry
-        return local < max_steps
+        _, _, local, _, _, stop = carry
+        return (local < max_steps) & ~stop
 
     def body(carry):
-        states, key, local, cur, errs = carry
+        states, key, local, cur, errs, stop = carry
         states, err, key = step_fn(states, key, local, cur)
-        errs = errs.at[local].set(jnp.mean(err))
-        return states, key, local + 1, err, errs
+        mean = jnp.sum(err * w)  # sharded batch: XLA lowers to an all-reduce
+        errs = errs.at[local].set(mean)
+        if config.converge_tol > 0:
+            prev = jnp.where(local >= cycle, errs[local - cycle], jnp.inf)
+            stop = (prev - mean < tol) & ~pipeline._is_window_step(
+                config, local
+            )
+        return states, key, local + 1, err, errs, stop
 
     # Exact per-image errors carried across sweeps (refine._pick): each
     # visit compares candidates against the carried value instead of
@@ -235,8 +287,9 @@ def _boptimize_fused(states, config: QuantConfig, refp, max_steps, cap: int):
     init = (
         states, key0, jnp.int32(0), cur0,
         jnp.full((cap,), jnp.nan, jnp.float32),
+        jnp.bool_(False),
     )
-    states, _, n, _, errs = jax.lax.while_loop(cond, body, init)
+    states, _, n, _, errs, _ = jax.lax.while_loop(cond, body, init)
     return states, errs, n
 
 
@@ -246,16 +299,25 @@ def batched_optimize(
     *,
     mesh: Mesh | None = None,
     max_steps: int | None = None,
+    n_real: int | None = None,
 ) -> tuple[QuantState, list[float]]:
-    """Run the full scheduler over a batch of images in SPMD lockstep."""
+    """Run the full scheduler over a batch of images in SPMD lockstep.
+
+    `n_real`: genuine images at the front of the batch (the rest being
+    mesh-padding replicas, excluded from the reported/convergence-tested
+    mean error); None = the whole batch is real."""
     if mesh is not None:
         states = shard_states(states, mesh)
     if max_steps is None:
         max_steps = config.max_steps
+    if n_real is None:
+        n_real = int(jax.tree.leaves(states)[0].shape[0])
 
     refp = brefp(states, config)
     cap = max(config.max_steps, max_steps)
-    states, errs, n = _boptimize_fused(states, config, refp, max_steps, cap)
+    states, errs, n = _boptimize_fused(
+        states, config, refp, max_steps, cap, n_real
+    )
     return states, [float(e) for e in np.asarray(errs)[: int(n)]]
 
 
@@ -265,6 +327,7 @@ def batched_run(
     *,
     mesh: Mesh | None = None,
     max_steps: int | None = None,
+    n_real: int | None = None,
 ) -> tuple[QuantState, list[float]]:
     """init -> cluster -> optimize for a batch of images."""
     states = make_batched_states(images, config)
@@ -272,7 +335,9 @@ def batched_run(
         states = shard_states(states, mesh)
     states = binit(states, config)
     states = bcluster(states, config)
-    return batched_optimize(states, config, mesh=None, max_steps=max_steps)
+    return batched_optimize(
+        states, config, mesh=None, max_steps=max_steps, n_real=n_real
+    )
 
 
 @partial(jax.jit, static_argnames=("config", "k", "cap"))

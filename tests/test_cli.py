@@ -155,6 +155,35 @@ def test_shard_paths_round_robin():
     assert shard_paths(paths, 1, 0) == paths
 
 
+def test_batch_cli_tuned_knobs_parse():
+    """batch_cli accepts the tuned recipe knobs (--tol/--channel-explore/
+    --gate-margin/--accept-margin/--opt-profile) with the same None-sentinel
+    override layering as the single-image CLI."""
+    from snesimage_tpu.batch_cli import build_parser as batch_parser
+
+    a = batch_parser().parse_args(
+        ["in", "out", "--opt-profile", "quality", "--tol", "0.2",
+         "--channel-explore", "8", "--accept-margin", "0.01",
+         "--gate-margin", "0.02", "--channel-window", "4"]
+    )
+    assert a.opt_profile == "quality"
+    assert a.tol == 0.2 and a.channel_explore == 8
+    assert a.accept_margin == 0.01 and a.gate_margin == 0.02
+    assert a.channel_window == 4
+    # defaults stay None sentinels so profiles can fill them
+    a = batch_parser().parse_args(["in", "out"])
+    assert a.steps is None and a.tol is None and a.schedule is None
+    assert a.prescreen is None and a.gate_margin is None
+
+
+def test_cli_reassign_and_dump_flags_parse(tmp_path):
+    a = build_parser().parse_args(
+        ["a", "b", "--reassign-tiles", "spec.txt", "--dump-every", "2"]
+    )
+    assert a.reassign_tiles == "spec.txt"
+    assert a.dump_every == 2
+
+
 def test_opt_profile_resolution():
     """--opt-profile applies the measured recipe; explicit flags override
     individual profile fields; no profile keeps reference defaults."""

@@ -67,6 +67,50 @@ def test_sharding_actually_partitions(rng):
     assert shards[0].data.shape[0] == 1  # 8 images over 8 devices
 
 
+def test_batched_pad_replicas_excluded_from_mean(rng):
+    """n_real excludes mesh-padding replicas from the reported per-step
+    mean error: a batch of [A, B] with n_real=1 must report A's errors,
+    not the A/B mean."""
+    imgs = _images(rng, b=2)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=1)
+    _, errs_real1 = pb.batched_run(imgs, cfg, max_steps=1, n_real=1)
+    _, errs_a_alone = pb.batched_run(imgs[:1], cfg, max_steps=1)
+    _, errs_both = pb.batched_run(imgs, cfg, max_steps=1)
+    assert abs(errs_real1[0] - errs_a_alone[0]) < 1e-3
+    assert abs(errs_both[0] - errs_real1[0]) > 1e-3  # B actually differs
+
+
+def test_batched_converge_tol_stops_early(rng):
+    """The batched fused loop's plateau rule: with a huge tol the run
+    stops after cycle+1 sweeps instead of burning the full budget."""
+    imgs = _images(rng, b=2)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=6, schedule="channel",
+                      converge_tol=1e9)
+    _, errors = pb.batched_run(imgs, cfg)
+    # channel schedule: cycle=1, so the stop can fire at step 2.
+    assert len(errors) == 2, errors
+    cfg0 = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                       height=64, max_steps=6, schedule="channel")
+    _, errors0 = pb.batched_run(imgs, cfg0)
+    assert len(errors0) == 6
+
+
+def test_batched_channel_explore_draws_keys(rng):
+    """channel_explore in the batched loop draws per-image keys: the
+    explore run's trajectory must diverge from the deterministic sweep
+    while never ending worse (strict-less-than acceptance)."""
+    imgs = _images(rng, b=2)
+    base = dict(subpalette_count=2, subpalette_size=3, width=64, height=64,
+                max_steps=2, schedule="channel")
+    _, errs_det = pb.batched_run(imgs, QuantConfig(**base))
+    _, errs_exp = pb.batched_run(
+        imgs, QuantConfig(**base, channel_explore=8)
+    )
+    assert errs_exp[-1] <= errs_det[-1] + 1e-3
+
+
 def test_portfolio_keeps_best_seed(rng):
     """portfolio_run optimizes K RNG trajectories of one image and returns
     the one with the minimum final error."""

@@ -325,3 +325,18 @@ def test_config_guard_gate_margin_deep_runs():
     cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
                       converge_tol=0.5)
     assert cfg.gate_margin == 0.01
+
+
+def test_config_guard_gate_window_stacking():
+    """gate_margin stacked with channel_window is a measured wall-clock
+    LOSS (11-12 steps vs 7-8 for either alone, BENCHMARKS.md); the config
+    warns and disables the window, keeping the gate."""
+    cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      schedule="channel", channel_window=4)
+    assert cfg.channel_window == 0
+    assert cfg.gate_margin == 0.01
+    # Either alone is untouched.
+    cfg = QuantConfig(schedule="channel", channel_window=4)
+    assert cfg.channel_window == 4
+    cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01)
+    assert cfg.gate_margin == 0.01

@@ -62,6 +62,62 @@ def test_transparent_tiles_keep_zero(small_image):
     assert tp[0, 6] == 0 and tp[0, 7] == 0  # fully transparent tiles
 
 
+def test_parse_reassignments():
+    spec = """
+    # comment line
+    3 5        # cycle once (one GUI click)
+    0 0 1      # set directly
+    7 2
+    """
+    assert pipeline.parse_reassignments(spec) == [(3, 5), (0, 0, 1), (7, 2)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipeline.parse_reassignments("1 2 3 4")
+    with pytest.raises(ValueError):
+        pipeline.parse_reassignments("1 a")
+
+
+def test_apply_tile_reassignments(small_image):
+    """(x, y) cycles like one GUI click (src/lib.rs:1005-1024); (x, y, p)
+    sets directly; out-of-range tiles/palettes are rejected."""
+    import pytest
+
+    cfg = QuantConfig(subpalette_count=3, subpalette_size=4, width=64, height=64)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    before = np.asarray(st.tile_palettes)
+
+    st2 = pipeline.apply_tile_reassignments(
+        st, cfg, [(3, 5), (0, 0, 2)], recluster=False
+    )
+    tp = np.asarray(st2.tile_palettes)
+    assert tp[5, 3] == (before[5, 3] + 1) % cfg.subpalette_count
+    assert tp[0, 0] == 2
+    # untouched elsewhere
+    mask = np.ones_like(before, bool)
+    mask[5, 3] = mask[0, 0] = False
+    np.testing.assert_array_equal(tp[mask], before[mask])
+
+    # cycling twice == two clicks
+    st3 = pipeline.apply_tile_reassignments(
+        st, cfg, [(3, 5), (3, 5)], recluster=False
+    )
+    assert np.asarray(st3.tile_palettes)[5, 3] == (
+        before[5, 3] + 2
+    ) % cfg.subpalette_count
+
+    # recluster=True re-fits palettes to the new assignment and remaps
+    st4 = pipeline.apply_tile_reassignments(st, cfg, [(0, 0, 2)])
+    assert np.isfinite(np.asarray(st4.palette)).all()
+
+    with pytest.raises(ValueError):
+        pipeline.apply_tile_reassignments(st, cfg, [(99, 0)])
+    with pytest.raises(ValueError):
+        pipeline.apply_tile_reassignments(st, cfg, [(0, 0, 7)])
+
+
 def test_optimize_with_reassign_every(small_image):
     cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64, height=64,
                       max_steps=2)
@@ -71,3 +127,24 @@ def test_optimize_with_reassign_every(small_image):
     st2, errors = pipeline.optimize(st, cfg, reassign_every=1)
     assert len(errors) == 2
     assert np.isfinite(errors).all()
+
+
+def test_optimize_on_step_callback(small_image):
+    """on_step fires after every sweep with the step index, the current
+    state, and the errors so far (the CLI's --dump-every surface), and
+    its trajectory matches the fused path's error history."""
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64, height=64,
+                      max_steps=2, schedule="channel")
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+
+    seen = []
+    st2, errors = pipeline.optimize(
+        st, cfg, on_step=lambda step, state, errs: seen.append(
+            (step, len(errs), float(np.asarray(errs)[-1]))
+        ),
+    )
+    assert [s[0] for s in seen] == [0, 1]
+    assert [s[1] for s in seen] == [1, 2]
+    assert [round(s[2], 4) for s in seen] == [round(e, 4) for e in errors]
