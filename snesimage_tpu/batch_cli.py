@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prescreen", type=int, default=None, metavar="K")
     p.add_argument("--prescreen-full", type=int, default=None, metavar="M")
     p.add_argument(
+        "--prescreen-pre", type=int, default=None, metavar="P",
+        help="Three-level coarse cascade: 1/8-res pre-rank keeping the "
+        "top P before the quarter-res coarse stage (see the "
+        "single-image CLI)",
+    )
+    p.add_argument(
         "--tol", type=float, default=None,
         help="Stop when a full sweep improves the batch-mean error by "
         "less than this (default 0 = fixed step budget)",
@@ -138,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
                     channel_explore=args.channel_explore,
                     prescreen=args.prescreen,
                     prescreen_full=args.prescreen_full,
+                    prescreen_pre=args.prescreen_pre,
                     gate_margin=args.gate_margin,
                     accept_margin=args.accept_margin,
                 ).items()

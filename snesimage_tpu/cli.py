@@ -161,6 +161,13 @@ def build_parser() -> argparse.ArgumentParser:
         "red-mean runs, use >= 4 with --perceptual-palettes)",
     )
     p.add_argument(
+        "--prescreen-pre", type=int, default=None, metavar="P",
+        help="With --prescreen (undithered): pre-rank ALL candidates by "
+        "their exact scale-3..5 score from 1/8-res frames and run the "
+        "quarter-res coarse stage only on the top P (must be > K; 0 = "
+        "every candidate runs the full coarse stage)",
+    )
+    p.add_argument(
         "--schedule", choices=["reference", "channel"], default=None,
         help="Step schedule: the reference's 4-random/1-channel cycle, or "
         "pure channel sweeps (coordinate descent; converges several times "
@@ -313,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                         channel_explore=args.channel_explore,
                         prescreen=args.prescreen,
                         prescreen_full=args.prescreen_full,
+                        prescreen_pre=args.prescreen_pre,
                         gate_margin=args.gate_margin,
                         accept_margin=args.accept_margin,
                     ).items()

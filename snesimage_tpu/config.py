@@ -64,6 +64,17 @@ class QuantConfig:
     # plateau-identical for red-mean runs; perceptual runs need >= 4
     # (at 2 the scale-1 rank misses up to ~1.2 error of improvements).
     prescreen_full: int = 0
+    # Third prescreen level (only with prescreen > 0, undithered): before
+    # the quarter-res coarse rank, pre-rank ALL candidates by their EXACT
+    # scale-3..5 score from 1/8-res frames (the quarter-res coarse frame
+    # pooled 2x2 once more, in-kernel) and run the scale-2 stage — ~75%
+    # of the coarse stage's pixels — only for the top `prescreen_pre`
+    # (plus the in-batch baseline in legacy mode). Same
+    # missed-improvement-only safety argument as the other levels;
+    # selection-perfection validated in tests/test_refine.py. Must exceed
+    # `prescreen` when set; 0 = two-level cascade (every candidate runs
+    # the full coarse stage).
+    prescreen_pre: int = 0
     # Step schedule: "reference" = the reference's 4-random-then-1-channel
     # cycle (src/lib.rs:890); "channel" = pure exhaustive channel sweeps
     # (coordinate descent) — measured to converge several times faster
@@ -133,6 +144,13 @@ class QuantConfig:
             raise ValueError("schedule must be 'reference' or 'channel'")
         if self.prescreen_full < 0:
             raise ValueError("prescreen_full must be >= 0")
+        if self.prescreen_pre < 0:
+            raise ValueError("prescreen_pre must be >= 0")
+        if self.prescreen_pre and self.prescreen_pre <= self.prescreen:
+            # The 1/8-res pre-rank must keep MORE candidates than the
+            # quarter-res rank selects, or the cascade degenerates (and
+            # the legacy in-batch-baseline mode needs one spare row).
+            raise ValueError("prescreen_pre must be > prescreen when set")
         if self.channel_explore < 0:
             raise ValueError("channel_explore must be >= 0")
         if self.gate_margin < 0:

@@ -350,6 +350,24 @@ def _undithered_machinery(
             # irrelevant for ranking and cancelled by the in-batch baseline)
             ds4_l = lnc_cmaj.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
             dcand = None
+            # Three-level coarse (config.prescreen_pre): pre-rank ALL
+            # candidates by their EXACT scale-3..5 score from 1/8-res
+            # frames (the quarter-res coarse frame pooled 2x2 once more,
+            # in-kernel), then run the scale-2 stage — ~75% of the coarse
+            # stage's work — only for the top `prescreen_pre`. Same
+            # missed-improvement-only safety argument as the two-level
+            # prescreen; selection-perfection validated in
+            # tests/test_refine.py.
+            mq = config.prescreen_pre
+            three_level = bool(
+                mq
+                and b > mq + base_rows
+                and mq >= k + base_rows
+                and h % 8 == 0
+                and w % 8 == 0
+            )
+            frames_q = None  # quarter-res coarse frames (three-level only)
+            start_s = 3 if three_level else 2
             # Fully fused coarse stage (TPU): win mask + pooled sums +
             # coarse frame + scale-2..5 features in ONE kernel per
             # candidate (ops/pallas_metric.py) — the chain of pooled
@@ -368,19 +386,27 @@ def _undithered_machinery(
             if use_pallas_prescreen() and fused_ok:
                 flat_refs = tuple(
                     jnp.moveaxis(a, -1, -3)
-                    for s in range(2, NUM_SCALES)
+                    for s in range(start_s, NUM_SCALES)
                     for a in refp[s]
                 )
                 sizes = [
                     refp[s][0].shape[0] * refp[s][0].shape[1]
-                    for s in range(2, NUM_SCALES)
+                    for s in range(start_s, NUM_SCALES)
                 ]
+                kkw = (
+                    dict(pre_ds=1, emit_frames=True) if three_level else {}
+                )
                 if perceptual:
                     bvalm = jnp.where(cand_mask2, best_val, -_BIG)
-                    sums, dcand = coarse_feature_sums_ciede(
+                    out = coarse_feature_sums_ciede(
                         jnp.moveaxis(target_lab, -1, 0), cand_lab,
                         cand_lin, bvalm, adj, ml_cmaj, ds4_l, flat_refs,
+                        **kkw,
                     )
+                    if three_level:
+                        sums, dcand, frames_q = out
+                    else:
+                        sums, dcand = out
                 else:
                     bva = jnp.where(
                         cand_mask2,
@@ -392,11 +418,15 @@ def _undithered_machinery(
                         jnp.iinfo(jnp.int32).min,
                     )
                     tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
-                    sums = coarse_feature_sums_redmean(
+                    out = coarse_feature_sums_redmean(
                         tg_cmaj, cand8.astype(jnp.int32), cand_lin, bva,
-                        ml_cmaj, ds4_l, flat_refs,
+                        ml_cmaj, ds4_l, flat_refs, **kkw,
                     )
-                feats_c = finalize_feature_sums(sums, sizes, 2)
+                    if three_level:
+                        sums, frames_q = out
+                    else:
+                        sums = out
+                feats_pre = finalize_feature_sums(sums, sizes, start_s)
             else:
                 if perceptual:
                     bvalm = jnp.where(cand_mask2, best_val, -_BIG)
@@ -432,10 +462,45 @@ def _undithered_machinery(
                     cand_lin[:, :, None, None] * pooled[:, :1]
                     - pooled[:, 1:4]
                 ) / 16.0 + ds4_l[None]  # (B, 3, h/4, w/4) channel-major
-                feats_c = fused_scale_feature_block(
-                    refp, coarse_frames, 2, NUM_SCALES - 2
-                )  # (B, 6, 3, 6); scales 0-1 zero
-            coarse = 100.0 - score_from_features(feats_c)
+                if three_level:
+                    frames_q = coarse_frames
+                    feats_pre = fused_scale_feature_block(
+                        refp, coarse_frames, 3, NUM_SCALES - 3, pre_ds=1
+                    )  # scales 3-5 from in-block 1/8-res downsample
+                else:
+                    feats_pre = fused_scale_feature_block(
+                        refp, coarse_frames, 2, NUM_SCALES - 2
+                    )  # (B, 6, 3, 6); scales 0-1 zero
+            if three_level:
+                # Level 1 of 3: rank ALL candidates by their EXACT
+                # scale-3..5 score; only the top `prescreen_pre` run the
+                # scale-2 stage (~75% of the coarse stage's pixels). The
+                # in-batch baseline (legacy mode) is force-included so its
+                # coarse features stay exact for the finalist sum.
+                pre_rank = 100.0 - score_from_features(feats_pre)
+                if carried_base:
+                    _, sel_pre = jax.lax.top_k(-pre_rank, mq)
+                else:
+                    # Top mq CANDIDATES plus the baseline (same convention
+                    # as the later levels) — keeping the candidate
+                    # retention set identical across the two modes.
+                    _, topp = jax.lax.top_k(-pre_rank[1:], mq)
+                    sel_pre = jnp.concatenate(
+                        [jnp.zeros(1, topp.dtype), topp + 1]
+                    )
+                feats_2 = fused_scale_feature_block(
+                    refp, frames_q[sel_pre], 2, 1
+                )
+                feats_sel = feats_2 + feats_pre[sel_pre]
+                feats_c = jnp.zeros_like(feats_pre).at[sel_pre].set(
+                    feats_sel
+                )
+                coarse = jnp.full((b,), jnp.inf, jnp.float32).at[
+                    sel_pre
+                ].set(100.0 - score_from_features(feats_sel))
+            else:
+                feats_c = feats_pre
+                coarse = 100.0 - score_from_features(feats_c)
             if carried_base:
                 _, sel = jax.lax.top_k(-coarse, k)
             else:
@@ -480,7 +545,7 @@ def _undithered_machinery(
                     # carried b0 shifts every candidate's weighted sum by
                     # the same constant, and the score nonlinearity is
                     # monotone over the operating range).
-                    b0, base_full, gate_enable = gate
+                    b0, base_full, gate_enable, n_gated = gate
                     rank1 = 100.0 - score_from_ssim_sum(b0 + s15)
                 else:
                     rank1 = 100.0 - score_from_ssim_sum(s15)
@@ -531,6 +596,14 @@ def _undithered_machinery(
                         jnp.min(rank1) - base_full
                         < -jnp.float32(config.gate_margin)
                     )
+                    if n_gated is not None and n_gated < b:
+                        # Explore exemption: rows >= n_gated are joint-RGB
+                        # explore candidates, whose gains are often
+                        # scale-0-dominated and invisible to the
+                        # prediction — any of them reaching the scale-0
+                        # finalists forces exact scoring, so the gate can
+                        # never filter an explore jump (see _slot_channel).
+                        gate_open = gate_open | jnp.any(selF >= n_gated)
                     return jax.lax.cond(
                         gate_open,
                         _scale0,
@@ -745,6 +818,7 @@ def _slot_machinery(state: QuantState, config: QuantConfig, p, i, cache=None):
 def _pick(
     errors, apply, new_cache, refp, cand5, current, base_err,
     gate_base=None, skip=None, accept_margin=0.0, gate_enable=None,
+    n_gated=None,
 ):
     """Shared accept/apply tail for the strict-less-than slot visits.
 
@@ -790,7 +864,7 @@ def _pick(
             gate_enable = jnp.bool_(True)
         cand_errs, s0_vec = errors(
             refp, cand5, carried_base=True,
-            gate=(gate_base, base_err, gate_enable),
+            gate=(gate_base, base_err, gate_enable, n_gated),
         )
     else:
         base = base_err
@@ -872,7 +946,15 @@ def _slot_channel(
     sweep5 = (
         current[None, :] * (1 - onehot)[None, :] + values[:, None] * onehot[None, :]
     )
+    n_gated = None
     if key is not None and config.channel_explore > 0:
+        # Explore rows are EXEMPT from the rank1 gate (n_gated marks the
+        # deterministic prefix): the joint-RGB jumps are the deep-quality
+        # moves whose gains are often scale-0-dominated and invisible to
+        # the gate's scale-1..5 prediction — gating them measured up to
+        # ~8 error of premature plateau (BENCHMARKS.md), which is why
+        # gate+explore used to be auto-disabled outright.
+        n_gated = sweep5.shape[0]
         rand5 = jax.random.randint(
             key, (config.channel_explore, 3), 0, 32, dtype=jnp.int32
         )
@@ -881,7 +963,7 @@ def _slot_channel(
     return _pick(
         errors, apply, new_cache, refp, sweep5, current, base_err,
         gate_base, (state, cache) if skip else None, config.accept_margin,
-        gate_enable,
+        gate_enable, n_gated,
     )
 
 

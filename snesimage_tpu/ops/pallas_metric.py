@@ -424,7 +424,12 @@ def _coarse_kernel_redmean(
     return kernel
 
 
-def _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad):
+def _coarse_kernel_ciede(
+    n_scales, ref_hw, blur_sizes, r_pad, pre_ds=0, emit_frames=False
+):
+    n_pools = pre_ds + n_scales - 1
+    n_out = 3 if emit_frames else 2
+
     def kernel(*args):
         from snesimage_tpu.ops.pallas_dither import _ciede2000_planes
 
@@ -432,10 +437,10 @@ def _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad):
          ds4_ref) = args[:7]
         refs = args[7 : 7 + 3 * n_scales]
         p4_ref = args[7 + 3 * n_scales]
-        pool_refs = args[8 + 3 * n_scales : 7 + 4 * n_scales]
-        blur_refs = args[7 + 4 * n_scales : -2]
-        out_ref = args[-2]
-        d_ref = args[-1]
+        pool_refs = args[8 + 3 * n_scales : 8 + 3 * n_scales + n_pools]
+        blur_refs = args[8 + 3 * n_scales + n_pools : len(args) - n_out]
+        out_ref = args[len(args) - n_out]
+        d_ref = args[len(args) - n_out + 1]
         h, w = bv_ref.shape[1:]
         im = pl.program_id(0)
         b = pl.program_id(1)
@@ -463,11 +468,19 @@ def _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad):
             + ds4_ref[0, k]
             for k in range(3)
         ]
+        if emit_frames:
+            fr_ref = args[-1]
+            for k in range(3):
+                fr_ref[0, 0, k] = planes[k]
+        r, g, bb = planes
+        for dd in range(pre_ds):
+            pw = pool_refs[dd][:]
+            r, g, bb = _ds2(r, pw), _ds2(g, pw), _ds2(bb, pw)
         out_ref[0, 0] = _scales_feature_tile(
-            planes[0], planes[1], planes[2],
+            r, g, bb,
             lambda si, j, c: refs[3 * si + j][0, c],
             n_scales, ref_hw,
-            lambda si: pool_refs[si - 1][:],
+            lambda si: pool_refs[pre_ds + si - 1][:],
             lambda sz: blur_refs[blur_sizes.index(sz)][:],
             r_pad,
         )
@@ -475,7 +488,7 @@ def _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad):
     return kernel
 
 
-def _coarse_common(flat_refs, w):
+def _coarse_common(flat_refs, w, pre_ds=0):
     from snesimage_tpu.ops.pallas_prescreen import _pool_matrix
 
     n_scales = len(flat_refs) // 3
@@ -483,7 +496,12 @@ def _coarse_common(flat_refs, w):
     rows = n_scales * 3
     r_pad = -(-rows // 8) * 8
     p4 = jnp.asarray(_pool_matrix(w))
+    # Pre-downsample pools (source widths walk down from the 1/4-res
+    # plane), then the between-scale pools (source width = previous
+    # scale's width) — the same layout _multiscale_feature_sums_n uses.
     pools = [
+        jnp.asarray(_pool2_matrix((w // 4) >> d)) for d in range(pre_ds)
+    ] + [
         jnp.asarray(_pool2_matrix(ref_hw[si][1])) for si in range(n_scales - 1)
     ]
     blur_sizes: list[int] = []
@@ -502,14 +520,17 @@ def _blur_matrix_local(sz):
 
 
 def _coarse_redmean_n(
-    tg, cand8, cand_lin, bva, ml, ds4_l, flat_refs, *, interpret: bool
+    tg, cand8, cand_lin, bva, ml, ds4_l, flat_refs, *,
+    pre_ds: int = 0, emit_frames: bool = False, interpret: bool,
 ):
     """(N, B, rows, 6) raw coarse feature sums, one program per (image,
-    candidate)."""
+    candidate). With emit_frames also returns the (N, B, 3, h/4, w/4)
+    quarter-res coarse frames (the three-level prescreen's scale-2 stage
+    re-scores the top pre-ranked candidates from them)."""
     n_img, b = cand8.shape[:2]
     h, w = bva.shape[-2:]
     (n_scales, ref_hw, rows, r_pad, p4, pools, blur_sizes,
-     blur_mats) = _coarse_common(flat_refs, w)
+     blur_mats) = _coarse_common(flat_refs, w, pre_ds)
 
     plane = pl.BlockSpec(
         (1, h, w), lambda im, i: (im, 0, 0), memory_space=pltpu.VMEM
@@ -538,28 +559,47 @@ def _coarse_redmean_n(
                 mat.shape, lambda im, i: (0, 0), memory_space=pltpu.VMEM
             )
         )
-    out = pl.pallas_call(
-        _coarse_kernel_redmean(n_scales, ref_hw, blur_sizes, r_pad),
-        grid=(n_img, b),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
+    out_specs = [
+        pl.BlockSpec(
             (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
             memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32)]
+    if emit_frames:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 3, h // 4, w // 4), lambda im, i: (im, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_img, b, 3, h // 4, w // 4), jnp.float32)
+        )
+    out = pl.pallas_call(
+        _coarse_kernel_redmean(
+            n_scales, ref_hw, blur_sizes, r_pad, pre_ds, emit_frames
         ),
-        out_shape=jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
+        grid=(n_img, b),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(tg, cand8, cand_lin, bva, ml, ds4_l, *flat_refs, p4, *pools, *blur_mats)
-    return out[:, :, :rows, :6]
+    if emit_frames:
+        return out[0][:, :, :rows, :6], out[1]
+    return out[0][:, :, :rows, :6]
 
 
 def _coarse_ciede_n(
-    tlab, clab, cand_lin, bv, adj, ml, ds4_l, flat_refs, *, interpret: bool
+    tlab, clab, cand_lin, bv, adj, ml, ds4_l, flat_refs, *,
+    pre_ds: int = 0, emit_frames: bool = False, interpret: bool,
 ):
-    """((N, B, rows, 6) raw sums, (N, B, H, W) dcand planes)."""
+    """((N, B, rows, 6) raw sums, (N, B, H, W) dcand planes[, frames])."""
     n_img, b = clab.shape[:2]
     h, w = bv.shape[-2:]
     (n_scales, ref_hw, rows, r_pad, p4, pools, blur_sizes,
-     blur_mats) = _coarse_common(flat_refs, w)
+     blur_mats) = _coarse_common(flat_refs, w, pre_ds)
 
     plane = pl.BlockSpec(
         (1, h, w), lambda im, i: (im, 0, 0), memory_space=pltpu.VMEM
@@ -588,43 +628,63 @@ def _coarse_ciede_n(
                 mat.shape, lambda im, i: (0, 0), memory_space=pltpu.VMEM
             )
         )
-    out, dcand = pl.pallas_call(
-        _coarse_kernel_ciede(n_scales, ref_hw, blur_sizes, r_pad),
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, h, w), lambda im, i: (im, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_img, b, h, w), jnp.float32),
+    ]
+    if emit_frames:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 3, h // 4, w // 4), lambda im, i: (im, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_img, b, 3, h // 4, w // 4), jnp.float32)
+        )
+    out = pl.pallas_call(
+        _coarse_kernel_ciede(
+            n_scales, ref_hw, blur_sizes, r_pad, pre_ds, emit_frames
+        ),
         grid=(n_img, b),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, r_pad, 128), lambda im, i: (im, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, h, w), lambda im, i: (im, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_img, b, r_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_img, b, h, w), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         tlab, clab, cand_lin, bv, adj, ml, ds4_l, *flat_refs, p4, *pools,
         *blur_mats,
     )
-    return out[:, :, :rows, :6], dcand
+    if emit_frames:
+        return out[0][:, :, :rows, :6], out[1], out[2]
+    return out[0][:, :, :rows, :6], out[1]
 
 
 @functools.lru_cache(maxsize=None)
-def _coarse_redmean_core(interpret: bool):
+def _coarse_redmean_core(pre_ds: int, emit_frames: bool, interpret: bool):
     from jax.custom_batching import custom_vmap
+
+    kw = dict(pre_ds=pre_ds, emit_frames=emit_frames, interpret=interpret)
 
     @custom_vmap
     def core(tg, cand8, cand_lin, bva, ml, ds4_l, *flat_refs):
-        return _coarse_redmean_n(
+        out = _coarse_redmean_n(
             tg[None], cand8[None], cand_lin[None], bva[None], ml[None],
-            ds4_l[None], tuple(a[None] for a in flat_refs),
-            interpret=interpret,
-        )[0]
+            ds4_l[None], tuple(a[None] for a in flat_refs), **kw,
+        )
+        if emit_frames:
+            return out[0][0], out[1][0]
+        return out[0]
 
     @core.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -632,28 +692,27 @@ def _coarse_redmean_core(interpret: bool):
             return a if bb else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
 
         full = [bcast(a, bb) for a, bb in zip(args, in_batched)]
-        return (
-            _coarse_redmean_n(
-                *full[:6], tuple(full[6:]), interpret=interpret
-            ),
-            True,
-        )
+        out = _coarse_redmean_n(*full[:6], tuple(full[6:]), **kw)
+        if emit_frames:
+            return out, (True, True)
+        return out, True
 
     return core
 
 
 @functools.lru_cache(maxsize=None)
-def _coarse_ciede_core(interpret: bool):
+def _coarse_ciede_core(pre_ds: int, emit_frames: bool, interpret: bool):
     from jax.custom_batching import custom_vmap
+
+    kw = dict(pre_ds=pre_ds, emit_frames=emit_frames, interpret=interpret)
 
     @custom_vmap
     def core(tlab, clab, cand_lin, bv, adj, ml, ds4_l, *flat_refs):
-        sums, dcand = _coarse_ciede_n(
+        out = _coarse_ciede_n(
             tlab[None], clab[None], cand_lin[None], bv[None], adj[None],
-            ml[None], ds4_l[None], tuple(a[None] for a in flat_refs),
-            interpret=interpret,
+            ml[None], ds4_l[None], tuple(a[None] for a in flat_refs), **kw,
         )
-        return sums[0], dcand[0]
+        return tuple(a[0] for a in out)
 
     @core.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -661,32 +720,34 @@ def _coarse_ciede_core(interpret: bool):
             return a if bb else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
 
         full = [bcast(a, bb) for a, bb in zip(args, in_batched)]
-        return (
-            _coarse_ciede_n(*full[:7], tuple(full[7:]), interpret=interpret),
-            (True, True),
-        )
+        out = _coarse_ciede_n(*full[:7], tuple(full[7:]), **kw)
+        return out, (True,) * len(out)
 
     return core
 
 
 def coarse_feature_sums_redmean(
     tg_cmaj, cand8, cand_lin, bva, ml_cmaj, ds4_l, flat_refs, *,
-    interpret=False,
+    pre_ds=0, emit_frames=False, interpret=False,
 ):
     """Fused coarse prescreen, red-mean path. Args as core/refine.py
     assembles them; flat_refs = channel-major (img1, mu1, s11) triples of
-    the coarse scales. Returns (B, 3*n_scales, 6) raw sums."""
-    return _coarse_redmean_core(interpret)(
+    the coarse scales (starting at scale 2 + pre_ds — pre_ds in-kernel
+    2x2 downsamplings of the quarter-res coarse frame run before the
+    first scale). Returns (B, 3*n_scales, 6) raw sums; with emit_frames
+    also the (B, 3, H/4, W/4) quarter-res coarse frames."""
+    return _coarse_redmean_core(pre_ds, emit_frames, interpret)(
         tg_cmaj, cand8, cand_lin, bva, ml_cmaj, ds4_l, *flat_refs
     )
 
 
 def coarse_feature_sums_ciede(
     tlab_cmaj, cand_lab, cand_lin, bvalm, adj, ml_cmaj, ds4_l, flat_refs, *,
-    interpret=False,
+    pre_ds=0, emit_frames=False, interpret=False,
 ):
     """Fused coarse prescreen, CIEDE2000 path. Also returns the (B, H, W)
-    candidate distance planes for finalist reuse."""
-    return _coarse_ciede_core(interpret)(
+    candidate distance planes for finalist reuse (and with emit_frames the
+    quarter-res coarse frames; pre_ds as in the red-mean path)."""
+    return _coarse_ciede_core(pre_ds, emit_frames, interpret)(
         tlab_cmaj, cand_lab, cand_lin, bvalm, adj, ml_cmaj, ds4_l, *flat_refs
     )

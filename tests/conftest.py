@@ -6,6 +6,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic suite: code under test (CLI mains) calls enable_compile_cache,
+# which would flip the persistent XLA cache on for the rest of the
+# process — reading/writing the user's cache from tests, and risking
+# SIGSEGV on stale cross-machine XLA:CPU AOT entries after a host
+# migration (see utils/cache.py).
+os.environ["SNESIMAGE_NO_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -39,6 +45,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture
+def poster_image():
+    """64x64 flat poster-art content: few solid colors, hard edges, thin
+    strokes — the content class where windowed/gated shortcuts failed in
+    round-2/3 experiments (NEXT.md dead ends), so trajectory tests must
+    cover it alongside the gradient fixture."""
+    h = w = 64
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[..., :3] = (240, 230, 210)
+    img[..., 3] = 255
+    img[8:32, 8:56, :3] = (200, 30, 40)
+    img[36:60, 12:36, :3] = (30, 60, 160)
+    img[40:52, 40:60, :3] = (20, 140, 60)
+    for x0 in range(12, 52, 8):  # text-like strokes
+        img[20:24, x0 : x0 + 3, :3] = (10, 10, 10)
+    return img
 
 
 @pytest.fixture

@@ -193,6 +193,66 @@ def test_sweep_matches_per_slot_path(small_image):
     assert abs(e_fast - e_slow) < 0.05, (e_fast, e_slow)
 
 
+@pytest.mark.slow
+def test_sweep_trajectory_variants(small_image, poster_image):
+    """Round-4 strengthening (VERDICT r3 item 7): the <=1-slot
+    sweep-vs-replay bound extends to a dithered fixture, a second content
+    type (flat poster art), and the windowed and gated sweep variants.
+
+    Each fused fori_loop sweep is compared against an eager per-visit
+    replay of the SAME carried-state machinery (_slot_channel with cache /
+    carried error / gate carry) — same visits, same candidates, same
+    acceptance — so only f32 fusion differences between the two XLA
+    compilations can flip near-tie selections (see
+    test_sweep_matches_per_slot_path)."""
+    from snesimage_tpu.core.refine import (
+        _gating_active,
+        _init_cache,
+        _slot_channel,
+        frame_error_fused,
+        gate_base_fused,
+        sweep_channel,
+    )
+
+    def replay(st, cfg, refp, window):
+        err = frame_error_fused(st, cfg, refp)
+        cache = _init_cache(st, cfg)
+        gb = gate_base_fused(st, cfg, refp) if _gating_active(cfg) else None
+        for p in range(cfg.subpalette_count):
+            for i in range(cfg.subpalette_size):
+                for ch in range(3):
+                    res, cache, gb = _slot_channel(
+                        st, cfg, refp, p, i, ch, cache, err,
+                        window=window, gate_base=gb, skip=True,
+                        gate_enable=jnp.bool_(True),
+                    )
+                    st, err = res.state, res.error
+        return st
+
+    cases = [
+        (small_image, {"dither": True}, False),
+        (poster_image, {}, False),
+        (small_image, {"channel_window": 4}, True),
+        (
+            small_image,
+            {"prescreen": 8, "prescreen_full": 2, "gate_margin": 0.01},
+            False,
+        ),
+    ]
+    for img, kw, window in cases:
+        st, cfg = _prepped(img, **kw)
+        refp = make_reference_pyramid(st)
+        fast = sweep_channel(st, cfg, refp, window=window)
+        slow = replay(st, cfg, refp, window)
+        diff = (
+            np.asarray(fast.state.palette) != np.asarray(slow.palette)
+        ).any(axis=-1).sum()
+        assert int(diff) <= 1, (kw, int(diff))
+        e_fast = float(frame_error_fused(fast.state, cfg, refp))
+        e_slow = float(frame_error_fused(slow, cfg, refp))
+        assert abs(e_fast - e_slow) < 0.05, (kw, e_fast, e_slow)
+
+
 def test_sweep_nes_matches_per_slot(small_image):
     from snesimage_tpu.core.refine import sweep_nes
 
@@ -260,6 +320,12 @@ def test_prescreen_matches_full_selection(small_image, rng):
         subpalette_count=2, subpalette_size=4, width=64, height=64,
         prescreen=8, prescreen_full=3,
     )
+    # Third level: 1/8-res pre-rank keeps the top 16 before the
+    # quarter-res coarse stage (VERDICT r3 item 2).
+    cfg_pre3 = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        prescreen=8, prescreen_full=3, prescreen_pre=16,
+    )
     for trial in range(3):
         key = jax.random.key(trial)
         full = refine_slot_random(st, cfg, refp, key, trial % 2, trial % 4)
@@ -267,10 +333,14 @@ def test_prescreen_matches_full_selection(small_image, rng):
         np.testing.assert_array_equal(
             np.asarray(full.state.palette), np.asarray(pre.state.palette)
         )
-        pre2 = refine_slot_random(st, cfg_pre2, refp, key, trial % 2, trial % 4)
-        np.testing.assert_array_equal(
-            np.asarray(full.state.palette), np.asarray(pre2.state.palette)
-        )
+        for cfg_n in (cfg_pre2, cfg_pre3):
+            pre_n = refine_slot_random(
+                st, cfg_n, refp, key, trial % 2, trial % 4
+            )
+            np.testing.assert_array_equal(
+                np.asarray(full.state.palette),
+                np.asarray(pre_n.state.palette),
+            )
 
 
 def test_carried_base_matches_legacy(small_image):
@@ -285,6 +355,10 @@ def test_carried_base_matches_legacy(small_image):
         ({}, [(0, 1, 0), (1, 2, 1), (1, 3, 2)]),
         ({"prescreen": 8}, [(0, 1, 0), (1, 2, 1), (1, 3, 2)]),
         ({"prescreen": 8, "prescreen_full": 3}, [(0, 1, 0), (1, 3, 2)]),
+        (
+            {"prescreen": 8, "prescreen_full": 3, "prescreen_pre": 16},
+            [(0, 1, 0), (1, 3, 2)],
+        ),
         ({"dither": True, "prescreen": 8, "prescreen_full": 3}, [(1, 2, 0)]),
     ]
     for kw, slots in cases:
