@@ -270,3 +270,103 @@ def test_fused_coarse_ciede_matches_composition(rng):
     ) / 16.0 + ds4_l[None]
     want = np.asarray(fused_scale_feature_block(refp, frames, 2, 4))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_coarse_three_level_redmean(rng):
+    """pre_ds=1 + emit_frames (the three-level prescreen's kernel mode):
+    the 1/8-res scale-3..5 sums must match the XLA composition on the
+    2x2-pooled coarse frames, and the emitted quarter-res frames must
+    equal the XLA-assembled coarse frames (the scale-2 stage re-scores
+    the pre-ranked top candidates from them; core/refine.py)."""
+    from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_redmean
+    from snesimage_tpu.ops.ssimulacra2 import (
+        finalize_feature_sums,
+        fused_scale_feature_block,
+    )
+
+    refp, _, _, ml, ds4_l, cand_lin, h, w, b = _coarse_scenario(rng)
+    flat_refs = tuple(
+        jnp.moveaxis(a, -1, -3) for s in range(3, 6) for a in refp[s]
+    )
+    sizes = [(h >> s) * (w >> s) for s in range(3, 6)]
+    tg = jnp.asarray(rng.integers(0, 256, (3, h, w)).astype(np.int32))
+    cand8 = jnp.asarray(rng.integers(0, 256, (b, 3)).astype(np.int32))
+    bva = jnp.asarray(rng.integers(0, 150_000_000, (h, w)).astype(np.int32))
+
+    sums, frames_q = coarse_feature_sums_redmean(
+        tg, cand8, cand_lin, bva, ml, ds4_l, flat_refs,
+        pre_ds=1, emit_frames=True, interpret=True,
+    )
+    got = np.asarray(finalize_feature_sums(sums, sizes, 3))
+
+    pooled = pp._pooled_wins_redmean_xla(tg, cand8, bva, ml)
+    frames = (
+        cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
+    ) / 16.0 + ds4_l[None]
+    np.testing.assert_allclose(
+        np.asarray(frames_q), np.asarray(frames), rtol=2e-4, atol=2e-4
+    )
+    want = np.asarray(fused_scale_feature_block(refp, frames, 3, 3, pre_ds=1))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_coarse_three_level_ciede(rng):
+    from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_ciede
+    from snesimage_tpu.ops.ssimulacra2 import (
+        finalize_feature_sums,
+        fused_scale_feature_block,
+    )
+
+    refp, _, _, ml, ds4_l, cand_lin, h, w, b = _coarse_scenario(rng)
+    flat_refs = tuple(
+        jnp.moveaxis(a, -1, -3) for s in range(3, 6) for a in refp[s]
+    )
+    sizes = [(h >> s) * (w >> s) for s in range(3, 6)]
+    tlab = jnp.asarray(
+        np.stack(
+            [
+                rng.random((h, w)).astype(np.float32) * 100.0,
+                rng.random((h, w)).astype(np.float32) * 160.0 - 80.0,
+                rng.random((h, w)).astype(np.float32) * 160.0 - 80.0,
+            ]
+        )
+    )
+    clab = jnp.asarray(
+        np.stack(
+            [
+                rng.random((b,)).astype(np.float32) * 100.0,
+                rng.random((b,)).astype(np.float32) * 160.0 - 80.0,
+                rng.random((b,)).astype(np.float32) * 160.0 - 80.0,
+            ],
+            axis=-1,
+        )
+    )
+    bvalm = jnp.asarray(rng.random((h, w)).astype(np.float32) * 40.0)
+    adj = jnp.asarray(rng.integers(0, 2, (h, w)).astype(np.int32))
+
+    sums, dcand, frames_q = coarse_feature_sums_ciede(
+        tlab, clab, cand_lin, bvalm, adj, ml, ds4_l, flat_refs,
+        pre_ds=1, emit_frames=True, interpret=True,
+    )
+    got = np.asarray(finalize_feature_sums(sums, sizes, 3))
+
+    d = jnp.stack(
+        [
+            _ciede2000_planes(
+                tlab[0], tlab[1], tlab[2], clab[i, 0], clab[i, 1], clab[i, 2]
+            )
+            for i in range(b)
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(dcand), np.asarray(d), rtol=1e-4, atol=1e-4
+    )
+    pooled = pp._pooled_wins_xla(d, bvalm, adj, ml)
+    frames = (
+        cand_lin[:, :, None, None] * pooled[:, :1] - pooled[:, 1:4]
+    ) / 16.0 + ds4_l[None]
+    np.testing.assert_allclose(
+        np.asarray(frames_q), np.asarray(frames), rtol=2e-4, atol=2e-4
+    )
+    want = np.asarray(fused_scale_feature_block(refp, frames, 3, 3, pre_ds=1))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
