@@ -643,3 +643,24 @@ def test_gate_exact_confirmation_stop(small_image):
     # the exact confirmation sweeps; without them e_g would equal start
     assert e_g < start - 1.0, (e_g, start)
     assert e_g < e_p + 1.0, (e_g, e_p)
+
+
+@pytest.mark.slow
+def test_run_fused_three_level_matches_two_level(small_image):
+    """End-to-end: a fused channel-descent run with the three-level
+    cascade (--prescreen-pre) must converge to the same palette as the
+    two-level run on this fixture (the 1/8-res pre-rank surfaces the
+    true coarse winners — selection-perfection at the run level)."""
+    base = dict(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel", max_steps=4, prescreen=8, prescreen_full=2,
+    )
+    img = np.asarray(small_image)
+    st2, errs2, info2 = pipeline.run_fused(img, QuantConfig(**base))
+    st3, errs3, info3 = pipeline.run_fused(
+        img, QuantConfig(**base, prescreen_pre=16)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st2.palette), np.asarray(st3.palette)
+    )
+    assert abs(info2["final_error"] - info3["final_error"]) < 1e-3

@@ -35,6 +35,9 @@ run pre_fast 3600 python tools/prescreen_pre_exp.py fast
 # 3. all five BASELINE configs.
 run benchmarks 5400 python benchmarks.py --steps 2 --batch 64 --chunk 16
 
+# 3b. BASELINE config 5 at its literal 256-image scale.
+run benchmarks256 5400 python benchmarks.py --steps 2 --batch 256 --chunk 16 --only c5
+
 # 4. three-level on the explore/quality config (VERDICT item 2 target).
 run pre_quality 5400 python tools/prescreen_pre_exp.py quality
 
