@@ -200,6 +200,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(validated margins in BENCHMARKS.md)",
     )
     p.add_argument(
+        "--gate-coarse", action="store_true", default=None,
+        help="With --gate-margin: add a coarse-stage gate that skips a "
+        "visit's entire finalist pipeline (frame build + scale-1 rank + "
+        "finest scale) when even the best coarse candidate isn't "
+        "predicted to improve by more than the margin — bigger skips "
+        "than the rank1 gate on late, all-reject sweeps, at a larger "
+        "prediction blind spot (validation: BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--accept-margin", type=float, default=None, metavar="T",
         help="Accept a candidate only if it improves the exact error by "
         "more than T (0 = reference strict-less-than rule). Filtering "
@@ -322,6 +331,7 @@ def main(argv: list[str] | None = None) -> int:
                         prescreen_full=args.prescreen_full,
                         prescreen_pre=args.prescreen_pre,
                         gate_margin=args.gate_margin,
+                        gate_coarse=args.gate_coarse,
                         accept_margin=args.accept_margin,
                     ).items()
                     if v is not None

@@ -121,6 +121,18 @@ class QuantConfig:
     # candidates, so a regression is impossible. Validated margins: see
     # BENCHMARKS.md.
     gate_margin: float = 0.0
+    # Coarse gate (extension, round 4; only with gate_margin > 0): add a
+    # FIRST gate at the coarse stage — predict each visit's best possible
+    # full error from the coarse candidates' exact scale-2..5 sums plus
+    # the carried scale-0 AND scale-1 terms of the current state, and
+    # skip the entire finalist pipeline (frame build + scale-1 rank +
+    # scale-0) when nothing is predicted to improve by more than
+    # gate_margin. Strictly larger blind spot than the rank1 gate
+    # (candidate scale-0 AND scale-1 deltas are invisible), strictly
+    # larger skip (~all non-coarse work of a reject visit); acceptance
+    # and the EXACT-confirmation stop rule are unchanged. Validation:
+    # BENCHMARKS.md.
+    gate_coarse: bool = False
     # Exact accept threshold (extension, all strict-less-than paths —
     # random and channel visits, any schedule, prescreened or not; NES
     # keeps its always-replace semantics): accept a candidate only if it
@@ -155,6 +167,8 @@ class QuantConfig:
             raise ValueError("channel_explore must be >= 0")
         if self.gate_margin < 0:
             raise ValueError("gate_margin must be >= 0")
+        if self.gate_coarse and self.gate_margin == 0:
+            raise ValueError("gate_coarse requires gate_margin > 0")
         if self.accept_margin < 0:
             raise ValueError("accept_margin must be >= 0")
         if not 0 <= self.channel_window <= 15:
@@ -217,6 +231,7 @@ class QuantConfig:
                 else f"converge_tol={self.converge_tol}",
             )
             object.__setattr__(self, "gate_margin", 0.0)
+            object.__setattr__(self, "gate_coarse", False)
 
     @property
     def width_tiles(self) -> int:

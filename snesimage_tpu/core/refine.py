@@ -175,20 +175,30 @@ def _gating_active(config: QuantConfig) -> bool:
 def gate_base_fused(
     state: QuantState, config: QuantConfig, refp
 ) -> jax.Array:
-    """Scale-0 weighted |feature| sum of the current state (see
-    ssim_weighted_sum: the score's weighted sum decomposes exactly over
-    the disjoint scale supports). Sweeps with gating enabled carry it
-    across slot visits; combining it with a candidate's exact scale-1..5
-    sum predicts the candidate's FULL error at the true operating point
-    of the score nonlinearity — the only unknown is the candidate's
-    scale-0 feature delta. One frame, one fused scale-0 evaluation
-    (~the cost of scoring one extra finalist per sweep)."""
+    """(2,) per-scale weighted |feature| sums [scale-0, scale-1] of the
+    current state (see ssim_weighted_sum: the score's weighted sum
+    decomposes exactly over the disjoint scale supports). Sweeps with
+    gating enabled carry it across slot visits; adding a candidate's
+    exact scale-1..5 sum to the scale-0 term predicts the candidate's
+    FULL error at the true operating point of the score nonlinearity —
+    the only unknown is the candidate's scale-0 feature delta. The
+    coarse gate (QuantConfig.gate_coarse) adds the scale-1 term to
+    predict from the candidate's scale-2..5 coarse sum alone, before
+    any full-resolution frame is built. One frame, one fused two-scale
+    evaluation (~the cost of scoring one extra finalist per sweep)."""
     rendered = render_linear(
         state.palette_map, state.alpha, state.tile_palettes, state.palette
     )
     cmaj = jnp.moveaxis(rendered, -1, 0)[None]  # (1, 3, H, W)
-    feats = fused_scale_feature_block(refp, cmaj, 0, 1)
-    return ssim_weighted_sum(feats)[0]
+    feats = fused_scale_feature_block(refp, cmaj, 0, 2)[0]  # (scales, 3, 6)
+    mask0 = (jnp.arange(NUM_SCALES) == 0)[:, None, None]
+    mask1 = (jnp.arange(NUM_SCALES) == 1)[:, None, None]
+    return jnp.stack(
+        [
+            ssim_weighted_sum(feats * mask0),
+            ssim_weighted_sum(feats * mask1),
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,24 +304,29 @@ def _undithered_machinery(
         scale-0 finalists).
 
         ``gate`` (only with carried_base, two-level prescreen) is the
-        rank1 visit gate's context ``(b0, base_err)``: b0 = the current
-        state's scale-0 weighted |feature| sum (gate_base_fused, carried
-        across visits), base_err = the carried exact error. The return
-        value becomes ``(errs, s0_vec)`` and the scale-0 stage runs under
-        a lax.cond: each finalist's FULL error is predicted as
-        100 - score_poly(b0 + its exact scale-1..5 weighted sum) — exact
-        except for the candidate's own scale-0 feature delta — and
+        rank1 visit gate's context ``(gb, base_err, gate_enable,
+        n_gated)``: gb = the current state's per-scale [scale-0, scale-1]
+        weighted |feature| sums (gate_base_fused, carried across visits),
+        base_err = the carried exact error. The return value becomes
+        ``(errs, svec)`` and the scale-0 stage runs under a lax.cond:
+        each finalist's FULL error is predicted as
+        100 - score_poly(gb[0] + its exact scale-1..5 weighted sum) —
+        exact except for the candidate's own scale-0 feature delta — and
         unless the best prediction beats base_err by MORE than
         ``config.gate_margin``, every candidate reports +inf (visit
-        rejected) without the scale-0 work. The current color's own
-        prediction equals base_err exactly (the decomposition is exact
-        on the current state), so the margin must be strictly positive
-        to ever skip; a SMALLER margin is safer (more visits fully
-        scored) and the only possible harm is a missed improvement whose
-        gain lives in the candidate's scale-0 delta — acceptance always
-        compares fully-scored candidates against the carried exact
-        error. ``s0_vec`` is each fully-scored candidate's scale-0
-        weighted sum (the carry update on accept), 0 elsewhere."""
+        rejected) without the scale-0 work. With ``config.gate_coarse``
+        an earlier cond skips the whole finalist pipeline (frame build +
+        scale-1 + scale-0) from the coarse-stage prediction
+        100 - score_poly(gb[0] + gb[1] + best coarse sum). The current
+        color's own prediction equals base_err exactly (the
+        decomposition is exact on the current state), so the margin must
+        be strictly positive to ever skip; a SMALLER margin is safer
+        (more visits fully scored) and the only possible harm is a
+        missed improvement whose gain lives in the candidate's
+        finest-scale deltas — acceptance always compares fully-scored
+        candidates against the carried exact error. ``svec`` is (2, B):
+        each fully-scored candidate's scale-0 / scale-1 weighted sums
+        (the carry update on accept), 0 elsewhere."""
         cand8 = expand_5bit_to_8bit(cand5)  # (B, 3)
         cand_lin = srgb_u8_to_linear(cand8)
         cand_lab = srgb_u8_to_lab(cand8) if perceptual else cand8
@@ -524,56 +539,60 @@ def _undithered_machinery(
                 build = lambda ix: jax.vmap(one_frame_cmaj)(  # noqa: E731
                     cand8[ix], cand_lin[ix], cand_lab[ix]
                 )
-            frames = build(sel)
             m = config.prescreen_full
-            if m and m < k:
-                # Second level: rank the finalists by their EXACT
-                # scale-1..5 score — the metric kernel downsamples the
-                # full-resolution frames in-kernel (pre_ds=1), so no
-                # half-resolution copies exist — then run scale 0 (~4/5
-                # of a finalist's metric cost) only for the top-m (plus
-                # the in-batch baseline in legacy mode), on freshly built
-                # frames (rebuilding two frames is cheaper than gathering
-                # from `frames`).
-                feats_1 = fused_scale_feature_block(
-                    refp, frames, 1, 1, pre_ds=1
-                )
-                s15 = ssim_weighted_sum(feats_1 + feats_c[sel])
-                if gate is not None:
-                    # Rank by the calibrated full-error prediction (same
-                    # ordering as the raw scale-1..5 score: adding the
-                    # carried b0 shifts every candidate's weighted sum by
-                    # the same constant, and the score nonlinearity is
-                    # monotone over the operating range).
-                    b0, base_full, gate_enable, n_gated = gate
-                    rank1 = 100.0 - score_from_ssim_sum(b0 + s15)
-                else:
-                    rank1 = 100.0 - score_from_ssim_sum(s15)
-                if carried_base:
+            if gate is not None:
+                # Gated path (carried baseline only; _gating_active
+                # requires two-level prescreening).
+                assert carried_base and m and m < k
+                gb, base_full, gate_enable, n_gated = gate
+
+                def _reject():
+                    return (
+                        jnp.full((b,), jnp.inf, jnp.float32),
+                        jnp.zeros((2, b), jnp.float32),
+                    )
+
+                def _stage12():
+                    # Second level: rank the finalists by their EXACT
+                    # scale-1..5 score — the metric kernel downsamples
+                    # the full-resolution frames in-kernel (pre_ds=1), so
+                    # no half-resolution copies exist — then run scale 0
+                    # (~4/5 of a finalist's metric cost) only for the
+                    # top-m, on freshly built frames (rebuilding two
+                    # frames is cheaper than gathering from the finalist
+                    # stack). Ranking uses the calibrated full-error
+                    # prediction (same ordering as the raw scale-1..5
+                    # score: the carried b0 shifts every candidate's
+                    # weighted sum by the same constant, and the score
+                    # nonlinearity is monotone over the operating range).
+                    frames = build(sel)
+                    feats_1 = fused_scale_feature_block(
+                        refp, frames, 1, 1, pre_ds=1
+                    )
+                    s15 = ssim_weighted_sum(feats_1 + feats_c[sel])
+                    rank1 = 100.0 - score_from_ssim_sum(gb[0] + s15)
                     _, sel2 = jax.lax.top_k(-rank1, m)
-                else:
-                    _, top2 = jax.lax.top_k(-rank1[1:], m)
-                    sel2 = jnp.concatenate(
-                        [jnp.zeros(1, top2.dtype), top2 + 1]
-                    )
-                selF = sel[sel2]
+                    selF = sel[sel2]
 
-                def _scale0():
-                    feats_0 = fused_scale_feature_block(
-                        refp, build(selF), 0, 1
-                    )
-                    full = 100.0 - score_from_features(
-                        feats_0 + feats_1[sel2] + feats_c[selF]
-                    )
-                    errs_v = jnp.full(
-                        (b,), jnp.inf, jnp.float32
-                    ).at[selF].set(full)
-                    s0_v = jnp.zeros((b,), jnp.float32).at[selF].set(
-                        ssim_weighted_sum(feats_0)
-                    )
-                    return errs_v, s0_v
+                    def _scale0():
+                        feats_0 = fused_scale_feature_block(
+                            refp, build(selF), 0, 1
+                        )
+                        full = 100.0 - score_from_features(
+                            feats_0 + feats_1[sel2] + feats_c[selF]
+                        )
+                        errs_v = jnp.full(
+                            (b,), jnp.inf, jnp.float32
+                        ).at[selF].set(full)
+                        # Per-scale carry updates for the accepted
+                        # candidate: its scale-0 and scale-1 weighted
+                        # sums (only rows that can be accepted — i.e.
+                        # fully-scored selF rows — are ever read).
+                        sv = jnp.zeros((2, b), jnp.float32)
+                        sv = sv.at[0, selF].set(ssim_weighted_sum(feats_0))
+                        sv = sv.at[1, sel].set(ssim_weighted_sum(feats_1))
+                        return errs_v, sv
 
-                if gate is not None:
                     # Rank1 gate: run the scale-0 stage only when the
                     # best finalist's predicted full error beats the
                     # carried exact error by MORE than gate_margin;
@@ -604,20 +623,69 @@ def _undithered_machinery(
                         # finalists forces exact scoring, so the gate can
                         # never filter an explore jump (see _slot_channel).
                         gate_open = gate_open | jnp.any(selF >= n_gated)
-                    return jax.lax.cond(
-                        gate_open,
-                        _scale0,
-                        lambda: (
-                            jnp.full((b,), jnp.inf, jnp.float32),
-                            jnp.zeros((b,), jnp.float32),
-                        ),
+                    return jax.lax.cond(gate_open, _scale0, _reject)
+
+                if config.gate_coarse:
+                    # Coarse gate (extension, round 4): predict each
+                    # candidate's full error from its exact scale-2..5
+                    # coarse sum plus BOTH carried fine-scale terms, and
+                    # skip the entire finalist pipeline (frame build +
+                    # scale-1 rank + scale-0) when even the best coarse
+                    # candidate isn't predicted to improve by more than
+                    # the margin. The prediction is exact up to the
+                    # candidate's own scale-0 AND scale-1 deltas — a
+                    # strictly larger blind spot than the rank1 gate's,
+                    # traded for skipping ~all non-coarse work on reject
+                    # visits; the same EXACT-confirmation stop rule keeps
+                    # convergence exact. sel[0] is the coarse argmin and
+                    # the prediction is monotone in the coarse sum, so
+                    # one element decides.
+                    wsum_c = ssim_weighted_sum(feats_c)
+                    pred_best = 100.0 - score_from_ssim_sum(
+                        gb[0] + gb[1] + wsum_c[sel[0]]
                     )
-                return _scale0()[0]
+                    open_c = ~gate_enable | (
+                        pred_best - base_full
+                        < -jnp.float32(config.gate_margin)
+                    )
+                    if n_gated is not None and n_gated < b:
+                        # Explore exemption, coarse level: any explore
+                        # candidate among the coarse finalists forces the
+                        # finalist pipeline to run.
+                        open_c = open_c | jnp.any(sel >= n_gated)
+                    return jax.lax.cond(open_c, _stage12, _reject)
+                return _stage12()
+            frames = build(sel)
+            if m and m < k:
+                # Second level, ungated (see the gated twin above for the
+                # stage semantics; legacy mode force-includes the in-batch
+                # baseline row).
+                feats_1 = fused_scale_feature_block(
+                    refp, frames, 1, 1, pre_ds=1
+                )
+                s15 = ssim_weighted_sum(feats_1 + feats_c[sel])
+                rank1 = 100.0 - score_from_ssim_sum(s15)
+                if carried_base:
+                    _, sel2 = jax.lax.top_k(-rank1, m)
+                else:
+                    _, top2 = jax.lax.top_k(-rank1[1:], m)
+                    sel2 = jnp.concatenate(
+                        [jnp.zeros(1, top2.dtype), top2 + 1]
+                    )
+                selF = sel[sel2]
+                feats_0 = fused_scale_feature_block(
+                    refp, build(selF), 0, 1
+                )
+                full = 100.0 - score_from_features(
+                    feats_0 + feats_1[sel2] + feats_c[selF]
+                )
+                return jnp.full(
+                    (b,), jnp.inf, jnp.float32
+                ).at[selF].set(full)
             # Finalists: only the two finest scales run at full
             # resolution; scales 2..5 reuse the coarse features (the
             # pooled scale-2 frame IS the finalist frame's scale-2
             # downsample, exactly, up to f32 summation order).
-            assert gate is None  # _gating_active requires prescreen_full
             feats_f = fused_scale_feature_block(refp, frames, 0, 2)
             full = 100.0 - score_from_features(feats_f + feats_c[sel])
             return jnp.full((b,), jnp.inf, jnp.float32).at[sel].set(full)
@@ -629,12 +697,17 @@ def _undithered_machinery(
         if gate is not None:
             # Small batches (e.g. windowed visits) skip the prescreen
             # decomposition; no gating opportunity, but the gate carry
-            # still needs each candidate's scale-0 weighted sum —
+            # still needs each candidate's per-scale weighted sums —
             # extracted from the already-computed full features (~free).
-            s0_v = ssim_weighted_sum(
-                feats * (jnp.arange(NUM_SCALES) == 0)[:, None, None]
+            sv = jnp.stack(
+                [
+                    ssim_weighted_sum(
+                        feats * (jnp.arange(NUM_SCALES) == s)[:, None, None]
+                    )
+                    for s in (0, 1)
+                ]
             )
-            return errs, s0_v
+            return errs, sv
         return errs
 
     def _chosen_dist(color5):
@@ -891,7 +964,9 @@ def _pick(
         cache_out = new_cache(color)
     new_gate = None
     if gate_base is not None:
-        new_gate = jnp.where(changed, s0_vec[bidx], gate_base)
+        # gate_base / s0_vec are (2,) / (2, B): per-scale [scale-0,
+        # scale-1] weighted sums (see gate_base_fused).
+        new_gate = jnp.where(changed, s0_vec[:, bidx], gate_base)
     return res, cache_out, new_gate
 
 

@@ -40,6 +40,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+from hypothesis import settings as _hyp_settings  # noqa: E402
+
+# No wall-clock deadlines for property tests: single-core containers +
+# jit compile/dispatch jitter trip hypothesis's default 200 ms deadline
+# on tests that are otherwise instant (observed flaky DeadlineExceeded
+# on test_expand_range_and_monotone under background CPU load).
+_hyp_settings.register_profile("snesimage", deadline=None)
+_hyp_settings.load_profile("snesimage")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries. XLA:CPU on this
+    host segfaults inside LLVM compilation (backend_compile_and_load)
+    once enough live executables accumulate in one process — the full
+    suite crashed deterministically at the same mid-suite compile (rc
+    139) while every strict subset of the preceding modules passed, and
+    no memory/cgroup limit was in play (128 GB free). Dropping the pjit
+    caches between modules keeps the live-executable count bounded.
+    Cross-module compile reuse is minimal (fixtures differ per module),
+    so the overhead is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.fixture

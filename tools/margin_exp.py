@@ -88,10 +88,12 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "gate"
     vals = [float(m) for m in sys.argv[2:]] or [0.0]
     for val in vals:
-        kw = (
-            {"gate_margin": val} if mode == "gate"
-            else {"coarse_rank_scale": int(val)}
-        )
+        if mode == "gate":
+            kw = {"gate_margin": val}
+        elif mode == "coarse":  # round-4 coarse gate (QuantConfig.gate_coarse)
+            kw = {"gate_margin": val, "gate_coarse": val > 0}
+        else:
+            kw = {"coarse_rank_scale": int(val)}
         config = QuantConfig(
             subpalette_count=8, subpalette_size=15, max_steps=10,
             converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
