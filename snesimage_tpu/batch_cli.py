@@ -132,6 +132,12 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from snesimage_tpu.cli import OPT_PROFILES, merge_geometry
 
+        if args.opt_profile == "hybrid":
+            raise ValueError(
+                "--opt-profile hybrid is a two-phase single-image recipe "
+                "(pipeline.run_fused_hybrid); batch mode runs one fused "
+                "config per batch — use fast or quality"
+            )
         geometry = merge_geometry(args)
         opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
         opt.update(

@@ -76,6 +76,23 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
             accept_margin=0.005,
         ),
     ),
+    # Two-phase recipe (round 4, pipeline.run_fused_hybrid): the 'fast'
+    # profile to its plateau, then the 'quality' profile polishing that
+    # state. Measured on the bench image (tools/hybrid_exp.py): final
+    # error 112.53 vs 115.04 for 'quality' alone — better than the
+    # reference schedule's 113.4-115.8 seed band — in ~the fast
+    # profile's time plus 4 explore steps. The field dict below is
+    # PHASE 2 (explicit optimizer flags override phase 2; phase 1 is
+    # always the 'fast' recipe, with --steps capping both phases).
+    "hybrid": (
+        "fast gated descent to plateau, then explore polish — better "
+        "final error than 'quality' at a fraction of its time",
+        dict(
+            schedule="channel", prescreen=8, prescreen_full=2,
+            channel_explore=16, converge_tol=0.1, max_steps=14,
+            accept_margin=0.005,
+        ),
+    ),
 }
 
 
@@ -308,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         optimized = False
+        config_fast = None  # phase-1 config when --opt-profile hybrid
         if args.resume:
             state, config, meta = load_checkpoint(args.resume)
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
@@ -344,6 +362,26 @@ def main(argv: list[str] | None = None) -> int:
                 random_trials=args.trials,
                 channel_window=args.channel_window,
             )
+            if args.opt_profile == "hybrid":
+                # Phase 1 of the hybrid recipe: always the 'fast'
+                # profile (the generic override machinery above applies
+                # explicit flags to PHASE 2 = `config`); --steps caps
+                # both phases so bounded runs stay bounded.
+                opt1 = dict(OPT_PROFILES["fast"][1])
+                if args.steps is not None:
+                    opt1["max_steps"] = args.steps
+                config_fast = QuantConfig(
+                    **geometry,
+                    **opt1,
+                    seed=args.seed,
+                    random_trials=args.trials,
+                )
+                if args.portfolio > 1:
+                    raise ValueError(
+                        "--portfolio with --opt-profile hybrid is not "
+                        "supported (portfolio batches ONE config's RNG "
+                        "trajectories; run --opt-profile quality instead)"
+                    )
             log.info("Using source image: %s", args.source_filename)
             img = load_rgba(args.source_filename)
             check_size(img, config.width, config.height)
@@ -385,7 +423,12 @@ def main(argv: list[str] | None = None) -> int:
                 from snesimage_tpu.utils.profiling import trace
 
                 with trace(args.profile_dir):
-                    state, errors, _ = pipeline.run_fused(img, config)
+                    if config_fast is not None:
+                        state, errors, _ = pipeline.run_fused_hybrid(
+                            img, config_fast, config
+                        )
+                    else:
+                        state, errors, _ = pipeline.run_fused(img, config)
                 optimized = True
             else:
                 state = pipeline.new_state(img, config)
@@ -437,6 +480,17 @@ def main(argv: list[str] | None = None) -> int:
 
             refp = make_reference_pyramid(state)
             with trace(args.profile_dir):
+                if config_fast is not None:
+                    # Hybrid on the host-stepped path (verbose /
+                    # --dump-every / --reassign-every): phase 1 fast,
+                    # then explore polish continuing the RNG stream.
+                    state, errs1 = pipeline.optimize(
+                        state, config_fast, refp=refp,
+                        start_step=len(errors),
+                        reassign_every=args.reassign_every,
+                        on_slot=on_slot, on_step=on_step,
+                    )
+                    errors.extend(errs1)
                 state, step_errors = pipeline.optimize(
                     state, config, refp=refp, start_step=len(errors),
                     reassign_every=args.reassign_every, on_slot=on_slot,

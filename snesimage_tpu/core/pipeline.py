@@ -460,6 +460,66 @@ def run_fused(
     }
 
 
+def run_fused_hybrid(
+    source_rgba: np.ndarray,
+    config_fast: QuantConfig,
+    config_quality: QuantConfig,
+) -> tuple[QuantState, list[float], dict]:
+    """Two-phase schedule as chained fused programs with ONE host sync.
+
+    Phase 1 runs ``config_fast`` (the gated channel-descent recipe) to
+    its plateau; phase 2 runs ``config_quality`` (explore polish)
+    CONTINUING from phase 1's state. Rationale (round 4, tools/
+    hybrid_exp.py): the quality recipe's early sweeps pay explore-
+    candidate cost for coarse progress the gated fast sweeps make
+    cheaper — chaining reaches a better plateau than either recipe
+    alone (bench image: 112.53 vs 115.04 quality-alone vs the reference
+    schedule's 113.4-115.8 seed band) in roughly the fast recipe's time
+    plus a few explore steps.
+
+    Phase 2's RNG stream starts after phase 1's step count, consumed as
+    a DYNAMIC on-device start_step — no host fetch between the phases;
+    the packed summaries of both phases are fetched in one sync. Both
+    configs must agree on geometry and mode flags (same state layout
+    and reference pyramid)."""
+    for field in (
+        "width", "height", "subpalette_count", "subpalette_size",
+        "dither", "perceptual_palettes", "nes",
+    ):
+        if getattr(config_fast, field) != getattr(config_quality, field):
+            raise ValueError(
+                f"hybrid phases disagree on {field}: "
+                f"{getattr(config_fast, field)!r} vs "
+                f"{getattr(config_quality, field)!r}"
+            )
+    state = new_state(source_rgba, config_fast)
+    cap1 = max(config_fast.max_steps, 1)
+    cap2 = max(config_quality.max_steps, 1)
+    t0 = time.perf_counter()
+    state, refp = _prep_fused(state, config_fast)
+    state, s1 = _optimize_fused_summary(
+        state, config_fast, refp, cap1, 0, cap1
+    )
+    n1 = s1[cap1].astype(jnp.int32)
+    state, s2 = _optimize_fused_summary(
+        state, config_quality, refp, cap2, n1, cap2
+    )
+    s = np.asarray(jnp.concatenate([s1, s2]))  # the one host sync
+    elapsed = time.perf_counter() - t0
+    k1 = int(s[cap1])
+    k2 = int(s[cap1 + 2 + cap2])
+    errors = [float(e) for e in s[:k1]] + [
+        float(e) for e in s[cap1 + 2 : cap1 + 2 + k2]
+    ]
+    for local, err in enumerate(errors):
+        log.info("step %d error: %f", local, err)
+    return state, errors, {
+        "total_seconds": elapsed,
+        "final_error": float(s[cap1 + 2 + cap2 + 1]),
+        "phase_steps": (k1, k2),
+    }
+
+
 def optimize(
     state: QuantState,
     config: QuantConfig,

@@ -24,13 +24,31 @@ import pathlib
 
 
 def _cpu_fingerprint() -> str:
-    """Stable short hash of this host's CPU feature set."""
+    """Stable short hash of this host's CPU identity + feature set.
+
+    The flags line alone is NOT enough: two VM hosts were observed with
+    identical /proc/cpuinfo flags but different LLVM-detected feature
+    sets (the migrated host's XLA:CPU AOT entries carried
+    +prefer-no-scatter/+prefer-no-gather the new host lacks — the
+    loader warns "could lead to execution errors such as SIGILL"), so
+    the hash also covers family/model/stepping/microcode/model-name,
+    which differ across such hosts."""
     try:
         with open("/proc/cpuinfo") as f:
+            ident: list[str] = []
+            feats = ""
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":", 1)[0].strip()
+                if key in (
+                    "cpu family", "model", "model name", "stepping",
+                    "microcode",
+                ) and len(ident) < 5:
+                    ident.append(line.strip())
+                elif key in ("flags", "Features") and not feats:
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+            if feats or ident:
+                blob = "|".join(ident) + "||" + feats
+                return hashlib.sha256(blob.encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

@@ -225,3 +225,27 @@ def test_opt_profile_resolution():
                    "--prescreen", "12"])
     assert cfg.converge_tol == 0.3 and cfg.prescreen == 12
     assert cfg.schedule == "channel"  # untouched profile field survives
+
+
+def test_hybrid_profile_cli(tmp_path):
+    """--opt-profile hybrid: phase 2 fields come from the profile dict
+    (same as 'quality'); --portfolio is rejected (exit-1 contract); the
+    batch CLI rejects the profile outright (one fused config per batch)."""
+    from snesimage_tpu.cli import OPT_PROFILES
+
+    assert OPT_PROFILES["hybrid"][1] == OPT_PROFILES["quality"][1]
+
+    # rejection happens before the source file is read
+    rc = main(
+        ["/nonexistent.png", str(tmp_path / "o.json"),
+         "--opt-profile", "hybrid", "--portfolio", "2"]
+    )
+    assert rc == 1
+
+    from snesimage_tpu.batch_cli import main as batch_main
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    rc = batch_main([str(indir), str(outdir), "--opt-profile", "hybrid"])
+    assert rc == 1

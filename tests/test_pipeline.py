@@ -340,3 +340,44 @@ def test_config_guard_gate_window_stacking():
     assert cfg.channel_window == 4
     cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01)
     assert cfg.gate_margin == 0.01
+
+
+def test_run_fused_hybrid(small_image):
+    """Two-phase hybrid (pipeline.run_fused_hybrid): phase 1 = gated
+    fast descent, phase 2 = explore polish continuing from phase 1's
+    state and RNG step count. Invariants: per-phase step counts match
+    the error list, every phase runs, the final error is phase 2's last
+    carried exact error, and phase 2 (strict-less-than acceptance from
+    phase 1's state) can never END worse than phase 1's plateau."""
+    cfg_f = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel", prescreen=8, prescreen_full=2,
+        gate_margin=0.01, converge_tol=0.5, max_steps=3,
+    )
+    cfg_q = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        schedule="channel", prescreen=8, prescreen_full=2,
+        channel_explore=8, converge_tol=0.1, max_steps=3,
+        accept_margin=0.005,
+    )
+    state, errors, info = pipeline.run_fused_hybrid(small_image, cfg_f, cfg_q)
+    k1, k2 = info["phase_steps"]
+    assert k1 >= 1 and k2 >= 1
+    assert len(errors) == k1 + k2
+    assert info["final_error"] == pytest.approx(errors[-1], abs=1e-3)
+    # polish never ends above the fast plateau (strict-less-than accepts
+    # from that state; f32 tolerance for cross-program noise)
+    assert errors[-1] <= errors[k1 - 1] + 1e-3
+    # the exact error of the returned state matches the reported final
+    refp = make_reference_pyramid(new_state(small_image, cfg_q))
+    assert float(error_of(state, cfg_q, refp)) == pytest.approx(
+        info["final_error"], abs=1e-2
+    )
+
+    # geometry / mode flags must agree between the phases
+    cfg_bad = QuantConfig(
+        subpalette_count=2, subpalette_size=4, width=64, height=64,
+        dither=True,
+    )
+    with pytest.raises(ValueError):
+        pipeline.run_fused_hybrid(small_image, cfg_f, cfg_bad)

@@ -41,6 +41,10 @@ run benchmarks256 5400 python benchmarks.py --steps 2 --batch 256 --chunk 16 --o
 # 4. three-level on the explore/quality config (VERDICT item 2 target).
 run pre_quality 5400 python tools/prescreen_pre_exp.py quality
 
+# 4b. hybrid two-phase timing (round-4 CPU quality: gradient 112.53 —
+# beats the reference band; this measures the TPU wall-clock).
+run hybrid 3600 python tools/hybrid_exp.py
+
 # 5. batch + portfolio on-chip validation (VERDICT item 3).
 run batch_portfolio 3600 python tools/batch_portfolio_tpu.py
 
