@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
         "single-image CLI)",
     )
     p.add_argument(
+        "--dither-proxy", type=int, default=None, metavar="K",
+        help="Dithered runs: wavefront-dither only the top K candidates "
+        "per visit, ranked by the exact undithered coarse score (see "
+        "the single-image CLI)",
+    )
+    p.add_argument(
         "--tol", type=float, default=None,
         help="Stop when a full sweep improves the batch-mean error by "
         "less than this (default 0 = fixed step budget)",
@@ -151,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
                     prescreen=args.prescreen,
                     prescreen_full=args.prescreen_full,
                     prescreen_pre=args.prescreen_pre,
+                    dither_proxy=args.dither_proxy,
                     gate_margin=args.gate_margin,
                     accept_margin=args.accept_margin,
                 ).items()

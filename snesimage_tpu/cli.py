@@ -217,6 +217,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(validated margins in BENCHMARKS.md)",
     )
     p.add_argument(
+        "--dither-proxy", type=int, default=None, metavar="K",
+        help="Dithered runs: rank each visit's candidates by their exact "
+        "undithered coarse-scale score and wavefront-dither only the top "
+        "K (the wavefront is the dithered visit's dominant cost). 0 = "
+        "off. Same missed-improvement-only safety as --prescreen "
+        "(validation: BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--gate-coarse", action="store_true", default=None,
         help="With --gate-margin: add a coarse-stage gate that skips a "
         "visit's entire finalist pipeline (frame build + scale-1 rank + "
@@ -348,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
                         prescreen=args.prescreen,
                         prescreen_full=args.prescreen_full,
                         prescreen_pre=args.prescreen_pre,
+                        dither_proxy=args.dither_proxy,
                         gate_margin=args.gate_margin,
                         gate_coarse=args.gate_coarse,
                         accept_margin=args.accept_margin,

@@ -121,6 +121,17 @@ class QuantConfig:
     # candidates, so a regression is impossible. Validated margins: see
     # BENCHMARKS.md.
     gate_margin: float = 0.0
+    # Dither proxy prescreen (extension, round 4; dithered runs only):
+    # rank a dithered visit's candidates by their EXACT undithered
+    # coarse-scale score (scales 2..5 — FS dither noise pools out
+    # there) and run the per-candidate wavefront remap + exact dithered
+    # scoring only for the top K (0 = off, all candidates dithered).
+    # The wavefront is the dithered visit's dominant cost, so this is
+    # the dithered analogue of the two-level prescreen, with the same
+    # missed-improvement-only safety: acceptance compares exactly
+    # scored dithered candidates, the NES sweep opts out, the legacy
+    # baseline row is always scored. Validation: BENCHMARKS.md.
+    dither_proxy: int = 0
     # Coarse gate (extension, round 4; only with gate_margin > 0): add a
     # FIRST gate at the coarse stage — predict each visit's best possible
     # full error from the coarse candidates' exact scale-2..5 sums plus
@@ -169,6 +180,8 @@ class QuantConfig:
             raise ValueError("gate_margin must be >= 0")
         if self.gate_coarse and self.gate_margin == 0:
             raise ValueError("gate_coarse requires gate_margin > 0")
+        if self.dither_proxy < 0:
+            raise ValueError("dither_proxy must be >= 0")
         if self.accept_margin < 0:
             raise ValueError("accept_margin must be >= 0")
         if not 0 <= self.channel_window <= 15:

@@ -294,7 +294,7 @@ def _undithered_machinery(
 
     def errors(
         refp, cand5, allow_prescreen=True, carried_base=False,
-        gate=None,
+        gate=None, coarse_only=False,
     ):
         """Per-candidate errors. With ``carried_base=True`` the batch
         contains NO baseline row: the caller carries the exact error of
@@ -486,6 +486,12 @@ def _undithered_machinery(
                     feats_pre = fused_scale_feature_block(
                         refp, coarse_frames, 2, NUM_SCALES - 2
                     )  # (B, 6, 3, 6); scales 0-1 zero
+            if coarse_only:
+                # Proxy-rank mode (config.dither_proxy): the EXACT
+                # scale-(start_s)..5 undithered score of EVERY candidate,
+                # finite for all rows — the dithered path ranks its
+                # candidates with this before paying a wavefront each.
+                return 100.0 - score_from_features(feats_pre)
             if three_level:
                 # Level 1 of 3: rank ALL candidates by their EXACT
                 # scale-3..5 score; only the top `prescreen_pre` run the
@@ -694,6 +700,10 @@ def _undithered_machinery(
         frames = jax.vmap(one_frame_cmaj)(cand8, cand_lin, cand_lab)
         feats = fused_scale_feature_block(refp, frames, 0, NUM_SCALES)
         errs = 100.0 - score_from_features(feats)
+        if coarse_only:
+            # Proxy-rank mode, small-batch fallback: the full exact
+            # undithered error is an even better rank (all rows finite).
+            return errs
         if gate is not None:
             # Small batches (e.g. windowed visits) skip the prescreen
             # decomposition; no gating opportunity, but the gate carry
@@ -742,7 +752,43 @@ def _candidate_errors_dithered(
     allow_prescreen=True, carried_base=False,
 ):
     """Dithered candidate evaluation: fused wavefront remap per candidate
-    (Pallas on TPU / XLA scan fallback), then one explicit metric batch."""
+    (Pallas on TPU / XLA scan fallback), then one explicit metric batch.
+
+    With ``config.dither_proxy = K > 0`` (extension, round 4) the B
+    candidates are first ranked by their EXACT undithered coarse-scale
+    score (scales 2..5 of the undithered argmin remap — FS error
+    diffusion is high-frequency content that pools out at those scales,
+    so the undithered coarse rank closely tracks the dithered one) and
+    only the top K pay the wavefront remap + exact dithered scoring;
+    the rest report +inf. The per-candidate wavefront is the dithered
+    visit's dominant cost (~13 ms/visit red-mean vs ~0.4 ms undithered,
+    BENCHMARKS.md), so this is the dithered analogue of the undithered
+    two-level prescreen, with the same missed-improvement-only safety:
+    acceptance still compares exactly-scored dithered candidates
+    (strict-less-than; the NES sweep opts out via allow_prescreen, and
+    the legacy baseline row 0 is always force-included). Measured
+    quality: BENCHMARKS.md "Dither proxy prescreen"."""
+    b = cand5.shape[0]
+    base_rows = 0 if carried_base else 1
+    kprox = config.dither_proxy
+    if kprox and allow_prescreen and b - base_rows > kprox:
+        und_errors, _, _ = _undithered_machinery(state, config, p, i)
+        # carried_base=True in rank mode: every row (incl. a legacy
+        # baseline) is ranked as a plain candidate; the force-include
+        # below restores the baseline's exact scoring.
+        proxy = und_errors(refp, cand5, carried_base=True, coarse_only=True)
+        if carried_base:
+            _, selp = jax.lax.top_k(-proxy, kprox)
+        else:
+            _, topp = jax.lax.top_k(-proxy[1:], kprox)
+            selp = jnp.concatenate([jnp.zeros(1, topp.dtype), topp + 1])
+        # The recursive call cannot re-enter this branch: its batch is
+        # exactly kprox + base_rows rows.
+        errs_k = _candidate_errors_dithered(
+            state, config, refp, p, i, cand5[selp], allow_prescreen,
+            carried_base,
+        )
+        return jnp.full((b,), jnp.inf, jnp.float32).at[selp].set(errs_k)
     s = config.subpalette_size
     maps = dither_candidates(
         state.rgb,

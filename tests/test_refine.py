@@ -764,3 +764,63 @@ def test_gate_coarse_open_and_closed(small_image):
 def test_gate_coarse_config_guard():
     with pytest.raises(ValueError):
         QuantConfig(gate_coarse=True)  # requires gate_margin > 0
+
+
+def test_dither_proxy_structure_and_regret(small_image, rng):
+    """config.dither_proxy (round 4): exactly K (+ the legacy baseline)
+    rows are exactly scored per dithered visit — everything else +inf —
+    every finite entry equals the unproxied exact dithered score for
+    that candidate, and the proxy's selected winner has bounded regret
+    vs full dithered scoring on this fixture."""
+    from snesimage_tpu.core.refine import _candidate_errors_dithered
+
+    st, cfg0 = _prepped(small_image, dither=True, prescreen=8,
+                        prescreen_full=2)
+    cfg = dataclasses.replace(cfg0, dither_proxy=6)
+    refp = make_reference_pyramid(st)
+    cands = jnp.asarray(rng.integers(0, 32, (24, 3)), dtype=jnp.int32)
+    p, i = 1, 2
+
+    full = np.asarray(
+        _candidate_errors_dithered(st, cfg0, refp, p, i, cands,
+                                   carried_base=True)
+    )
+    prox = np.asarray(
+        _candidate_errors_dithered(st, cfg, refp, p, i, cands,
+                                   carried_base=True)
+    )
+    finite = np.isfinite(prox)
+    assert finite.sum() == 6
+    # Exactness on the survivors: same wavefront + same metric. (The
+    # unproxied run prescreens too, so compare only rows finite in BOTH.)
+    both = finite & np.isfinite(full)
+    assert both.sum() >= 1
+    np.testing.assert_allclose(prox[both], full[both], atol=1e-2)
+    # Bounded regret: the proxy's best candidate is nearly as good as
+    # the full scoring's best (coarse scales rank well on this fixture).
+    assert np.nanmin(prox[finite]) <= np.nanmin(full[np.isfinite(full)]) + 0.25
+
+    # Legacy mode: baseline row 0 always scored.
+    prox_l = np.asarray(
+        _candidate_errors_dithered(
+            st, cfg, refp, p, i,
+            jnp.concatenate([st.palette[p, i][None], cands]),
+        )
+    )
+    assert np.isfinite(prox_l[0])
+    assert np.isfinite(prox_l).sum() == 7
+
+
+def test_dither_proxy_run_level(small_image):
+    """A proxied dithered run (fused sweeps) must stay close to the
+    unproxied run: same stop rule, exact acceptance on survivors — the
+    only permitted difference is missed improvements from proxy
+    misranks."""
+    kw = dict(dither=True, schedule="channel", prescreen=8,
+              prescreen_full=2, converge_tol=0.5, max_steps=4)
+    cfg0 = QuantConfig(subpalette_count=2, subpalette_size=4, width=64,
+                       height=64, **kw)
+    cfg1 = dataclasses.replace(cfg0, dither_proxy=6)
+    _, e0, info0 = pipeline.run_fused(small_image, cfg0)
+    _, e1, info1 = pipeline.run_fused(small_image, cfg1)
+    assert info1["final_error"] <= info0["final_error"] + 1.0

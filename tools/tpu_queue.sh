@@ -48,4 +48,8 @@ run hybrid 3600 python tools/hybrid_exp.py
 # 5. batch + portfolio on-chip validation (VERDICT item 3).
 run batch_portfolio 3600 python tools/batch_portfolio_tpu.py
 
+# 6. dither-proxy timing (round 4: wavefront only for the top-K
+# proxy-ranked candidates; the wavefront dominates dithered visits).
+run dither_proxy 3600 python tools/dither_proxy_exp.py 0 8 --contents=gradient
+
 echo "queue done ($(date +%H:%M:%S)); logs in $LOG"
