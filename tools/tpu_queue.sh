@@ -9,12 +9,12 @@ mkdir -p "$LOG"
 
 run() { # name timeout cmd...
   local name=$1 to=$2; shift 2
-  if [ -s "$LOG/$name.ok" ]; then echo "skip $name (done)"; return 0; fi
+  if [ -e "$LOG/$name.ok" ]; then echo "skip $name (done)"; return 0; fi
   echo "=== $name ($(date +%H:%M:%S), timeout ${to}s)"
   timeout "$to" "$@" >"$LOG/$name.log" 2>&1
   local rc=$?
   echo "rc=$rc" >>"$LOG/$name.log"
-  if [ $rc -eq 0 ]; then touch "$LOG/$name.ok"; else echo "FAIL $name rc=$rc"; fi
+  if [ $rc -eq 0 ]; then echo done >"$LOG/$name.ok"; else echo "FAIL $name rc=$rc"; fi
   return $rc
 }
 
