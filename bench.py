@@ -35,7 +35,10 @@ import numpy as np
 REFERENCE_SECONDS = 180.0  # "a few minutes" (README.md:52-54), lower bound
 
 PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
-PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
+# 120 s proved too tight on a single-core host behind a slow tunnel: a
+# HEALTHY probe measured 139 s there (round 4, 2026-08-19). 300 s still
+# fails a dead tunnel in ~16 min total (3 attempts + backoffs).
 PROBE_BACKOFFS_S = (15, 45)  # between attempts 1->2 and 2->3
 RUN_TIMEOUT_S = int(
     os.environ.get("BENCH_RUN_TIMEOUT_S", "1800")

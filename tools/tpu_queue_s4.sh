@@ -19,7 +19,7 @@ run() { # name timeout cmd...
   return $rc
 }
 
-run probe 120 python -c "
+run probe 420 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256,256)) @ jnp.ones((256,256))
 assert float(np.asarray(x)[0,0]) == 256.0

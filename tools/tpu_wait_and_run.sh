@@ -2,11 +2,12 @@
 # Wait for the TPU tunnel to recover, then run the round-4 work queue.
 # Probes are process-isolated and bounded (a hung transfer cannot wedge
 # this loop); the queue itself is tools/tpu_queue.sh (resumable).
-# Usage: bash tools/tpu_wait_and_run.sh [logdir] [max_wait_s]
+# Usage: bash tools/tpu_wait_and_run.sh [logdir] [max_wait_s] [queue_sh]
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_r4}
 MAX_WAIT=${2:-39600}   # 11 h
+QUEUE=${3:-tools/tpu_queue.sh}
 mkdir -p "$LOG"
 START=$(date +%s)
 
@@ -16,7 +17,7 @@ while :; do
     echo "$(date +%H:%M:%S) giving up after ${MAX_WAIT}s" | tee -a "$LOG/wait.log"
     exit 1
   fi
-  timeout 120 python -c "
+  timeout 300 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256,256)) @ jnp.ones((256,256))
 assert float(np.asarray(x)[0,0]) == 256.0
@@ -34,7 +35,7 @@ done
 # This successful probe IS the queue's probe (a second back-to-back
 # probe process has been observed to time out on the flappy tunnel).
 touch "$LOG/probe.ok"
-bash tools/tpu_queue.sh "$LOG"
+bash "$QUEUE" "$LOG"
 rc=$?
 if [ $rc -ne 0 ]; then
   # Queue died mid-way (tunnel flap): go back to waiting and resume,
@@ -48,6 +49,6 @@ if [ $rc -ne 0 ]; then
   echo "$(date +%H:%M:%S) queue rc=$rc; re-entering wait loop" >>"$LOG/wait.log"
   rm -f "$LOG/probe.ok"
   export TPU_QUEUE_RESTARTS=$((RESTARTS + 1))
-  exec bash "$0" "$LOG" "$MAX_WAIT"
+  exec bash "$0" "$LOG" "$MAX_WAIT" "$QUEUE"
 fi
 echo "$(date +%H:%M:%S) queue complete" | tee -a "$LOG/wait.log"
