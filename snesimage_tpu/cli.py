@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -271,7 +272,11 @@ def build_parser() -> argparse.ArgumentParser:
         "interaction): a text file with one tile per line — 'x y' cycles "
         "that tile's subpalette once (one click), 'x y palette' sets it "
         "directly; #-comments allowed. Applied after clustering (or after "
-        "--resume), then palettes are re-fit once, before optimization",
+        "--resume), then palettes are re-fit once, before optimization. "
+        "With --dump-every N the file is also RE-READ every N steps "
+        "during optimization and applied again whenever it changed on "
+        "disk (the reference GUI accepts tile clicks at any moment of "
+        "the optimization phase)",
     )
     p.add_argument(
         "--dump-every", type=int, default=0, metavar="N",
@@ -445,12 +450,14 @@ def main(argv: list[str] | None = None) -> int:
                 state = pipeline.cluster(state, config)
                 errors = []
 
+        reassign_mtime = None
         if args.reassign_tiles:
             with open(args.reassign_tiles) as f:
                 assignments = pipeline.parse_reassignments(f.read())
             state = pipeline.apply_tile_reassignments(
                 state, config, assignments
             )
+            reassign_mtime = os.path.getmtime(args.reassign_tiles)
             log.info(
                 "Applied %d tile reassignments from %s",
                 len(assignments), args.reassign_tiles,
@@ -487,6 +494,47 @@ def main(argv: list[str] | None = None) -> int:
 
                         save_preview(args.preview, st, config)
 
+            on_step_state = None
+            if args.reassign_tiles and args.dump_every > 0:
+                # Live reassignment (reference GUI: a tile click works at
+                # any moment of the optimization phase, src/lib.rs:
+                # 1005-1024): re-read the file every --dump-every steps
+                # and apply it again whenever it changed on disk. A file
+                # edited mid-run must never crash a long run: parse
+                # errors are logged and skipped.
+                mtime_cell = [reassign_mtime]
+
+                def on_step_state(step, st, errs):
+                    if (step + 1) % args.dump_every:
+                        return None
+                    try:
+                        m = os.path.getmtime(args.reassign_tiles)
+                    except OSError:
+                        return None
+                    if m == mtime_cell[0]:
+                        return None
+                    mtime_cell[0] = m
+                    try:
+                        with open(args.reassign_tiles) as f:
+                            assignments = pipeline.parse_reassignments(
+                                f.read()
+                            )
+                        st = pipeline.apply_tile_reassignments(
+                            st, config, assignments
+                        )
+                    except (OSError, ValueError) as err:
+                        log.error(
+                            "Ignoring mid-run reassignment file %s: %s",
+                            args.reassign_tiles, err,
+                        )
+                        return None
+                    log.info(
+                        "step %d: applied %d mid-run tile reassignments "
+                        "from %s",
+                        step, len(assignments), args.reassign_tiles,
+                    )
+                    return st
+
             refp = make_reference_pyramid(state)
             with trace(args.profile_dir):
                 if config_fast is not None:
@@ -498,12 +546,13 @@ def main(argv: list[str] | None = None) -> int:
                         start_step=len(errors),
                         reassign_every=args.reassign_every,
                         on_slot=on_slot, on_step=on_step,
+                        on_step_state=on_step_state,
                     )
                     errors.extend(errs1)
                 state, step_errors = pipeline.optimize(
                     state, config, refp=refp, start_step=len(errors),
                     reassign_every=args.reassign_every, on_slot=on_slot,
-                    on_step=on_step,
+                    on_step=on_step, on_step_state=on_step_state,
                 )
             errors.extend(step_errors)
 

@@ -245,6 +245,30 @@ class QuantConfig:
             )
             object.__setattr__(self, "gate_margin", 0.0)
             object.__setattr__(self, "gate_coarse", False)
+        if self.gate_coarse:
+            # Measured quality LOSS (BENCHMARKS.md "Coarse-stage gate"):
+            # worse finals AND more steps on every content at margin
+            # 0.01, structurally (scales 0+1 carry most of the score).
+            # Warn-only — the knob ships for experimentation, not tuning.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "gate_coarse is a measured quality loss on every content "
+                "(BENCHMARKS.md \"Coarse-stage gate\"); experimental only "
+                "— it is in no tuned profile"
+            )
+        if self.prescreen_pre:
+            # Measured NOT equal-or-better (BENCHMARKS.md "Three-level
+            # coarse prescreen"): ~8% cheaper sweeps but a perturbed
+            # descent path (gradient converges SLOWER net). Warn-only.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "prescreen_pre gives cheaper sweeps but a perturbed "
+                "descent path, measured net slower on some content "
+                "(BENCHMARKS.md \"Three-level coarse prescreen\"); "
+                "experimental only — it is in no tuned profile"
+            )
 
     @property
     def width_tiles(self) -> int:

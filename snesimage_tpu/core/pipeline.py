@@ -530,6 +530,9 @@ def optimize(
     reassign_every: int = 0,
     on_slot: Callable[[SlotVisit, float], None] | None = None,
     on_step: Callable[[int, QuantState, list[float]], None] | None = None,
+    on_step_state: Callable[
+        [int, QuantState, list[float]], QuantState | None
+    ] | None = None,
 ) -> tuple[QuantState, list[float]]:
     """Stage 3: the refinement loop.
 
@@ -539,6 +542,14 @@ def optimize(
     src/lib.rs:999-1003). Like `on_slot` it forces the host-stepped loop
     (one dispatch+sync per sweep) instead of the fully fused one, but the
     stop rule is unchanged.
+
+    `on_step_state(step, state, errors_so_far)` may return a REPLACEMENT
+    state the loop continues from (None = unchanged) — the mid-run
+    mutation channel behind the CLI's live `--reassign-tiles` re-read
+    (the reference GUI accepts a tile click at any moment of the
+    optimization phase and re-clusters on the spot, src/lib.rs:1005-1024).
+    It runs after `on_step`, and the plateau test evaluates the replaced
+    state, so an injected edit cannot stop the run on a stale error.
 
     Returns (final_state, per-step errors). Stops after `max_steps` full
     steps or when the EXACT post-step full-frame error improves by less
@@ -562,6 +573,7 @@ def optimize(
     if (
         on_slot is None
         and on_step is None
+        and on_step_state is None
         and reassign_every == 0
         and max_steps > 0
     ):
@@ -647,6 +659,10 @@ def optimize(
         log.info("step %d error: %f", step, err)
         if on_step is not None:
             on_step(step, state, step_errors)
+        if on_step_state is not None:
+            replacement = on_step_state(step, state, step_errors)
+            if replacement is not None:
+                state = replacement
         full_errors.append(float(error_of(state, config, refp)))
         starved = (
             config.converge_tol > 0

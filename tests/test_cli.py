@@ -184,6 +184,50 @@ def test_cli_reassign_and_dump_flags_parse(tmp_path):
     assert a.dump_every == 2
 
 
+@pytest.mark.slow
+def test_cli_midrun_reassign(tmp_path, rng):
+    """A --reassign-tiles file EDITED WHILE THE OPTIMIZER RUNS takes
+    effect (the reference GUI accepts tile clicks at any moment of the
+    optimization phase, src/lib.rs:1005-1024): with --dump-every 1 the
+    CLI re-reads the file each step and applies it when its mtime
+    changed. The pre-run spec sets tile (0,0) to subpalette 1; a writer
+    thread rewrites the file to (0,0)->0, (1,0)->1 as soon as the first
+    mid-run dump lands; the final JSON must show the REWRITTEN
+    assignment (nothing else mutates tile_palettes)."""
+    import threading
+    import time as _time
+
+    from PIL import Image
+
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    src = tmp_path / "src.png"
+    Image.fromarray(img, "RGBA").save(src)
+    out = tmp_path / "out.json"
+    spec = tmp_path / "spec.txt"
+    spec.write_text("0 0 1\n")
+
+    def rewrite_after_first_dump():
+        deadline = _time.time() + 300
+        while not out.exists() and _time.time() < deadline:
+            _time.sleep(0.02)
+        spec.write_text("0 0 0\n1 0 1\n")
+
+    t = threading.Thread(target=rewrite_after_first_dump, daemon=True)
+    t.start()
+    rc = main(
+        [str(src), str(out), "-c", "2", "-s", "3", "--steps", "4",
+         "--schedule", "channel", "--dump-every", "1",
+         "--reassign-tiles", str(spec)]
+    )
+    t.join(timeout=10)
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    # tile_palettes is the 32x32 grid row-major: index 0 = (0,0), 1 = (1,0)
+    assert doc["tile_palettes"][0] == 0
+    assert doc["tile_palettes"][1] == 1
+
+
 def test_opt_profile_resolution():
     """--opt-profile applies the measured recipe; explicit flags override
     individual profile fields; no profile keeps reference defaults."""

@@ -342,6 +342,33 @@ def test_config_guard_gate_window_stacking():
     assert cfg.gate_margin == 0.01
 
 
+def test_config_warns_experimental_knobs(caplog):
+    """The two measured-loss knobs kept for experimentation (gate_coarse,
+    prescreen_pre — both validated as NOT equal-or-better, BENCHMARKS.md)
+    warn when selected so users cannot mistake them for tuned options;
+    the values themselves are kept."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="snesimage_tpu"):
+        cfg = QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                          gate_coarse=True)
+    assert cfg.gate_coarse
+    assert any("gate_coarse" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="snesimage_tpu"):
+        cfg = QuantConfig(prescreen=8, prescreen_full=2, prescreen_pre=16)
+    assert cfg.prescreen_pre == 16
+    assert any("prescreen_pre" in r.message for r in caplog.records)
+
+    # the tuned fast config stays silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="snesimage_tpu"):
+        QuantConfig(prescreen=8, prescreen_full=2, gate_margin=0.01,
+                    converge_tol=0.5, schedule="channel")
+    assert not caplog.records
+
+
 def test_run_fused_hybrid(small_image):
     """Two-phase hybrid (pipeline.run_fused_hybrid): phase 1 = gated
     fast descent, phase 2 = explore polish continuing from phase 1's

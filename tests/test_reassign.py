@@ -129,6 +129,35 @@ def test_optimize_with_reassign_every(small_image):
     assert np.isfinite(errors).all()
 
 
+def test_optimize_on_step_state_midrun(small_image):
+    """on_step_state can inject a tile reassignment AFTER optimization has
+    started (the reference GUI's mid-optimization click, src/lib.rs:
+    1005-1024) and the loop continues from the replaced state: the edit
+    survives to the final state because nothing else mutates
+    tile_palettes."""
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=3, schedule="channel")
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    target = int(1 - np.asarray(st.tile_palettes)[0, 0])  # differs from cur
+
+    applied = []
+
+    def on_step_state(step, state, errs):
+        if step != 0:
+            return None
+        applied.append(step)
+        return pipeline.apply_tile_reassignments(
+            state, cfg, [(0, 0, target)]
+        )
+
+    st2, errors = pipeline.optimize(st, cfg, on_step_state=on_step_state)
+    assert applied == [0]
+    assert len(errors) == 3 and np.isfinite(errors).all()
+    assert int(np.asarray(st2.tile_palettes)[0, 0]) == target
+
+
 def test_optimize_on_step_callback(small_image):
     """on_step fires after every sweep with the step index, the current
     state, and the errors so far (the CLI's --dump-every surface), and
