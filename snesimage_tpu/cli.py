@@ -77,6 +77,23 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
             accept_margin=0.005,
         ),
     ),
+    # The 'quality' recipe on a FIXED 8-step budget (tol 0 disables the
+    # plateau test: the budget IS the time contract). Chip-measured
+    # (round 5, tools/inband_exp.py, TPU v5 lite, bench image): 1.74 s
+    # best-of-3 = 103x the reference's 180 s anchor, final error 115.01
+    # (seed 0) — inside the reference schedule's seed band 113.4-115.8.
+    # The first configuration to satisfy BOTH BASELINE criteria in one
+    # chip-measured run. Seed-sensitive like every explore schedule
+    # (seeds 0/1/2: 115.0 / 119.3 / 113.4); see BENCHMARKS.md.
+    "balanced": (
+        "the 'quality' recipe on a fixed 8-step budget — chip-measured "
+        "reference-band quality at >=100x (BENCHMARKS.md round-5 row)",
+        dict(
+            schedule="channel", prescreen=8, prescreen_full=2,
+            channel_explore=16, converge_tol=0.0, max_steps=8,
+            accept_margin=0.005,
+        ),
+    ),
     # Two-phase recipe (round 4, pipeline.run_fused_hybrid): the 'fast'
     # profile to its plateau, then the 'quality' profile polishing that
     # state. Measured on the bench image (tools/hybrid_exp.py): final

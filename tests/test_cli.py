@@ -270,6 +270,15 @@ def test_opt_profile_resolution():
     assert cfg.converge_tol == 0.3 and cfg.prescreen == 12
     assert cfg.schedule == "channel"  # untouched profile field survives
 
+    # balanced = the chip-validated both-criteria recipe: the quality
+    # fields on a FIXED 8-step budget (tol 0 = no plateau test).
+    cfg = resolve(["a", "b", "--opt-profile", "balanced"])
+    assert cfg.channel_explore == 16 and cfg.accept_margin == 0.005
+    assert cfg.max_steps == 8 and cfg.converge_tol == 0.0
+    assert cfg.prescreen == 8 and cfg.prescreen_full == 2
+    cfg = resolve(["a", "b", "--opt-profile", "balanced", "--steps", "10"])
+    assert cfg.max_steps == 10  # explicit budget still overrides
+
 
 def test_hybrid_profile_cli(tmp_path):
     """--opt-profile hybrid: phase 2 fields come from the profile dict
