@@ -1,9 +1,11 @@
 """Benchmark: 256x256 image optimized on the flagship SNES BG workload.
 
 Measures wall-clock for the full pipeline (k-means init + clustering +
-candidate-batched refinement sweeps over all 8x15 slots run to a
-convergence plateau: stop when a full sweep improves the error by less
-than 0.5) on one chip, and reports images/sec-to-converged. The baseline
+candidate-batched refinement sweeps over all 8x15 slots — the
+'balanced' profile: 8 fixed channel-descent sweeps with 16 explore
+candidates per visit, reaching the reference schedule's quality band)
+on one chip, and reports images/sec-to-converged; the 'fast' gated
+recipe is also timed and reported as a secondary field. The baseline
 is the reference's serial CPU loop, which "generally stops improving
 within a few minutes" (README.md:52-54) — anchored at ~180 s, see
 BASELINE.md.
@@ -150,39 +152,53 @@ def main() -> None:
 
     enable_compile_cache()  # warm-up compiles persist across invocations
 
-    # schedule="channel": coordinate descent converges ~8x faster than
-    # the reference's random-heavy schedule at a measured cost of ~2-3
-    # error points vs that schedule's seed band (113.4-115.8); see the
-    # round-3 frontier table in BENCHMARKS.md, including the
-    # --channel-explore recipe that closes most of the gap at 2.3 s.
-    # gate_margin=0.01: the rank1 visit gate skips the finest-scale
-    # scoring of visits whose predicted improvement is < 0.01 error.
-    # Validated across content types (BENCHMARKS.md "Rank1 visit
-    # gating"): ~20% faster AND equal-or-better plateaus at <= 0.01
-    # (filtering weak greedy accepts steers the coordinate descent into
-    # better local optima); margins >= 0.02 degrade quality.
+    # HEADLINE (round 5) = the 'balanced' profile: channel descent +
+    # two-level prescreen + 16 explore candidates + exact accept
+    # threshold 0.005 on a FIXED 8-step budget. This is the first
+    # configuration whose ONE chip-measured run satisfies BOTH BASELINE
+    # criteria — final error inside the reference schedule's seed band
+    # (113.4-115.8; here 115.01) AND >= 100x the 180 s anchor (1.74 s =
+    # 103x, tools/inband_exp.py). The previous headline (the 'fast'
+    # gated recipe: ~1.0 s = ~180x at error ~116.85, OUTSIDE the band)
+    # is still measured and reported in the 'fast_config' field so the
+    # speed frontier stays visible across rounds.
     config = QuantConfig(
+        subpalette_count=8, subpalette_size=15, max_steps=8,
+        converge_tol=0.0, seed=0, schedule="channel", prescreen=8,
+        prescreen_full=2, channel_explore=16, accept_margin=0.005,
+    )
+    # 'fast' recipe (rank1 gate 0.01, tol 0.5): validated across content
+    # types (BENCHMARKS.md "Rank1 visit gating").
+    config_fast = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=10,
         converge_tol=0.5, seed=0, schedule="channel", prescreen=8,
         prescreen_full=2, gate_margin=0.01,
     )
     img = _test_image()
 
-    # Warm-up: compile the one fused program on a throwaway full run.
+    # Warm-up: compile the fused programs on throwaway full runs.
     pipeline.run_fused(img, config)
+    pipeline.run_fused(img, config_fast)
 
-    # Timed: full pipeline to convergence (each sweep = 120 slot visits,
-    # ~7.8k candidate frame evaluations with full SSIMULACRA2 each), as
-    # ONE dispatched XLA program with ONE host sync (run_fused fences on
-    # the packed summary fetch). Best of 3 repetitions: the tunnel to the
-    # TPU adds 10-300 ms of per-sync jitter unrelated to device time, so
-    # the minimum is the steady-state number (all runs reported).
+    # Timed: full pipeline (each sweep = 120 slot visits, ~10k candidate
+    # frame evaluations with full SSIMULACRA2 each), as ONE dispatched
+    # XLA program with ONE host sync (run_fused fences on the packed
+    # summary fetch). Best of 3 repetitions: the tunnel to the TPU adds
+    # 10-300 ms of per-sync jitter unrelated to device time, so the
+    # minimum is the steady-state number (all runs reported).
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         state, errors, info = pipeline.run_fused(img, config)
         runs.append(time.perf_counter() - t0)
     elapsed = min(runs)
+
+    fast_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, _, fast_info = pipeline.run_fused(img, config_fast)
+        fast_runs.append(time.perf_counter() - t0)
+    fast_elapsed = min(fast_runs)
 
     final_error = info["final_error"]
     images_per_sec = 1.0 / elapsed
@@ -192,12 +208,19 @@ def main() -> None:
             {
                 "metric": "256x256_images_per_sec_to_converged_ssimulacra2",
                 "value": round(images_per_sec, 5),
-                "unit": "images/sec (8x15 palettes, channel-descent sweeps to plateau tol=0.5, 1 chip)",
+                "unit": "images/sec (8x15 palettes, balanced profile: channel descent + explore 16, 8 sweeps, 1 chip)",
                 "vs_baseline": round(images_per_sec * REFERENCE_SECONDS, 2),
                 "elapsed_seconds": round(elapsed, 3),
                 "all_runs_seconds": [round(t, 3) for t in runs],
                 "final_error": round(final_error, 4),
+                "reference_band": [113.37, 115.78],
+                "in_band": bool(final_error <= 115.8),
                 "step_errors": [round(e, 4) for e in errors],
+                "fast_config": {
+                    "elapsed_seconds": round(fast_elapsed, 3),
+                    "vs_baseline": round(REFERENCE_SECONDS / fast_elapsed, 2),
+                    "final_error": round(fast_info["final_error"], 4),
+                },
                 "device": str(jax.devices()[0]),
             }
         )

@@ -96,15 +96,18 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
     ),
     # Two-phase recipe (round 4, pipeline.run_fused_hybrid): the 'fast'
     # profile to its plateau, then the 'quality' profile polishing that
-    # state. Measured on the bench image (tools/hybrid_exp.py): final
-    # error 112.53 vs 115.04 for 'quality' alone — better than the
-    # reference schedule's 113.4-115.8 seed band — in ~the fast
-    # profile's time plus 4 explore steps. The field dict below is
-    # PHASE 2 (explicit optimizer flags override phase 2; phase 1 is
-    # always the 'fast' recipe, with --steps capping both phases).
+    # state. CPU-measured on the bench image (tools/hybrid_exp.py):
+    # final error 112.53 vs 115.04 for 'quality' alone. ROUND-5 CHIP
+    # CAVEAT: this does NOT transfer to the TPU — f32 trajectory
+    # divergence lands the gated phase 1 in a worse basin there that
+    # the polish cannot escape (chip final 116.84; BENCHMARKS.md
+    # "north star" section). Prefer --opt-profile balanced on TPU.
+    # The field dict below is PHASE 2 (explicit optimizer flags
+    # override phase 2; phase 1 is always the 'fast' recipe, with
+    # --steps capping both phases).
     "hybrid": (
-        "fast gated descent to plateau, then explore polish — better "
-        "final error than 'quality' at a fraction of its time",
+        "fast gated descent to plateau, then explore polish — best "
+        "CPU-backend quality; on TPU prefer 'balanced' (BENCHMARKS.md)",
         dict(
             schedule="channel", prescreen=8, prescreen_full=2,
             channel_explore=16, converge_tol=0.1, max_steps=14,

@@ -473,9 +473,13 @@ def run_fused_hybrid(
     hybrid_exp.py): the quality recipe's early sweeps pay explore-
     candidate cost for coarse progress the gated fast sweeps make
     cheaper — chaining reaches a better plateau than either recipe
-    alone (bench image: 112.53 vs 115.04 quality-alone vs the reference
-    schedule's 113.4-115.8 seed band) in roughly the fast recipe's time
-    plus a few explore steps.
+    alone ON THE CPU BACKEND (bench image: 112.53 vs 115.04
+    quality-alone vs the reference schedule's 113.4-115.8 seed band)
+    in roughly the fast recipe's time plus a few explore steps.
+    Round-5 chip caveat: on TPU, f32 trajectory divergence lands
+    phase 1 in a worse basin the polish cannot escape (chip final
+    116.84) — the 'balanced' profile is the TPU quality/speed recipe
+    (BENCHMARKS.md "north star" section).
 
     Phase 2's RNG stream starts after phase 1's step count, consumed as
     a DYNAMIC on-device start_step — no host fetch between the phases;

@@ -377,13 +377,32 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
             )(pals, pms, cur)
             return unpack(res) + (key,)
         if config.schedule == "channel":
+            # channel_explore draws PER-SEED keys (split-per-step, then
+            # per seed — the same discipline as _boptimize_fused; without
+            # this, sweep_channel's key=None silently disables explore
+            # and all K trajectories collapse into one).
+            explore = config.channel_explore > 0
+            keys = None
+            if explore:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, k)
+
             def kchan(operand, window=False):
-                pals, pms, cur = operand
-                res = jax.vmap(
-                    lambda pal, pm, e: refine.sweep_channel(
-                        seed_state(pal, pm), config, refp, e, window=window
-                    )
-                )(pals, pms, cur)
+                pals, pms, cur, keys = operand
+                if explore:
+                    res = jax.vmap(
+                        lambda pal, pm, e, kk: refine.sweep_channel(
+                            seed_state(pal, pm), config, refp, e, key=kk,
+                            window=window,
+                        )
+                    )(pals, pms, cur, keys)
+                else:
+                    res = jax.vmap(
+                        lambda pal, pm, e: refine.sweep_channel(
+                            seed_state(pal, pm), config, refp, e,
+                            window=window,
+                        )
+                    )(pals, pms, cur)
                 return unpack(res)
 
             if pipeline._windowing_active(config):
@@ -391,10 +410,10 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
                     pipeline._is_window_step(config, step),
                     partial(kchan, window=True),
                     kchan,
-                    (pals, pms, cur),
+                    (pals, pms, cur, keys),
                 )
             else:
-                out = kchan((pals, pms, cur))
+                out = kchan((pals, pms, cur, keys))
             return out + (key,)
 
         def do_random(operand):
@@ -410,11 +429,20 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
 
         def do_channel(operand):
             pals, pms, key, cur = operand
-            res = jax.vmap(
-                lambda pal, pm, e: refine.sweep_channel(
-                    seed_state(pal, pm), config, refp, e
-                )
-            )(pals, pms, cur)
+            if config.channel_explore > 0:
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, k)
+                res = jax.vmap(
+                    lambda pal, pm, e, kk: refine.sweep_channel(
+                        seed_state(pal, pm), config, refp, e, key=kk
+                    )
+                )(pals, pms, cur, keys)
+            else:
+                res = jax.vmap(
+                    lambda pal, pm, e: refine.sweep_channel(
+                        seed_state(pal, pm), config, refp, e
+                    )
+                )(pals, pms, cur)
             return unpack(res) + (key,)
 
         return jax.lax.cond(

@@ -112,6 +112,21 @@ def test_batched_channel_explore_draws_keys(rng):
     assert errs_exp[-1] <= errs_det[-1] + 1e-3
 
 
+def test_portfolio_channel_explore_diverges(rng):
+    """The channel-schedule portfolio draws PER-SEED explore keys
+    (round-5 fix: sweep_channel's key=None silently disabled explore and
+    all K trajectories collapsed into one — observed as identical
+    per-seed finals on chip)."""
+    imgs = _images(rng, b=1)
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=3, width=64, height=64,
+        max_steps=2, schedule="channel", channel_explore=8,
+    )
+    _, seed_errs, _ = pb.portfolio_run(imgs[0], cfg, 3)
+    assert seed_errs.shape == (3,)
+    assert len(set(np.round(seed_errs, 4))) > 1, seed_errs
+
+
 def test_portfolio_keeps_best_seed(rng):
     """portfolio_run optimizes K RNG trajectories of one image and returns
     the one with the minimum final error."""
