@@ -124,13 +124,16 @@ class QuantConfig:
     # Dither proxy prescreen (extension, round 4; dithered runs only):
     # rank a dithered visit's candidates by their EXACT undithered
     # coarse-scale score (scales 2..5 — FS dither noise pools out
-    # there) and run the per-candidate wavefront remap + exact dithered
-    # scoring only for the top K (0 = off, all candidates dithered).
-    # The wavefront is the dithered visit's dominant cost, so this is
-    # the dithered analogue of the two-level prescreen, with the same
-    # missed-improvement-only safety: acceptance compares exactly
-    # scored dithered candidates, the NES sweep opts out, the legacy
-    # baseline row is always scored. Validation: BENCHMARKS.md.
+    # there) and run the wavefront remap + exact dithered scoring only
+    # for the top K (0 = off, all candidates dithered). Same
+    # missed-improvement-only safety as --prescreen (acceptance
+    # compares exactly scored dithered candidates, the NES sweep opts
+    # out, the legacy baseline row is always scored) — but measured a
+    # NEGATIVE on the TPU (BENCHMARKS.md "Dither proxy prescreen"):
+    # the fused wavefront kernel is chain-latency-bound, so thinning
+    # candidates saves nothing and the ranking pass adds ~20%/step,
+    # while the weak undithered rank perturbs the descent in both
+    # directions (poster +46 error at K=12). Experimental only.
     dither_proxy: int = 0
     # Coarse gate (extension, round 4; only with gate_margin > 0): add a
     # FIRST gate at the coarse stage — predict each visit's best possible
@@ -268,6 +271,19 @@ class QuantConfig:
                 "descent path, measured net slower on some content "
                 "(BENCHMARKS.md \"Three-level coarse prescreen\"); "
                 "experimental only — it is in no tuned profile"
+            )
+        if self.dither_proxy:
+            # Measured NEGATIVE on TPU (BENCHMARKS.md "Dither proxy
+            # prescreen"): the fused wavefront is chain-latency-bound,
+            # so the proxy is ~20% SLOWER per step and its weak
+            # undithered rank perturbs the descent both ways. Warn-only.
+            import logging
+
+            logging.getLogger("snesimage_tpu").warning(
+                "dither_proxy is measured ~20% slower per step on TPU "
+                "with a perturbed descent path (BENCHMARKS.md \"Dither "
+                "proxy prescreen\"); experimental only — it is in no "
+                "tuned profile"
             )
 
     @property

@@ -361,6 +361,14 @@ def test_config_warns_experimental_knobs(caplog):
     assert cfg.prescreen_pre == 16
     assert any("prescreen_pre" in r.message for r in caplog.records)
 
+    # dither_proxy: measured NEGATIVE on TPU (slower per step + perturbed
+    # descent, BENCHMARKS.md "Dither proxy prescreen") — warns too.
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="snesimage_tpu"):
+        cfg = QuantConfig(dither=True, dither_proxy=8)
+    assert cfg.dither_proxy == 8
+    assert any("dither_proxy" in r.message for r in caplog.records)
+
     # the tuned fast config stays silent
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="snesimage_tpu"):
