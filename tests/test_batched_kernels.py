@@ -10,6 +10,7 @@ the CPU backend, through BOTH plain vmap and vmap-of-jit, and pin them
 against the XLA fallback implementations.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -191,6 +192,7 @@ def _coarse_scenario(rng, h=128, w=128, b=5):
     return refp, flat_refs, sizes, ml, ds4_l, cand_lin, h, w, b
 
 
+@pytest.mark.slow
 def test_fused_coarse_redmean_matches_composition(rng):
     """The one-kernel coarse stage (wins + pooled sums + coarse frame +
     scale-2..5 features) must match the three-stage XLA composition."""
@@ -218,6 +220,7 @@ def test_fused_coarse_redmean_matches_composition(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_coarse_ciede_matches_composition(rng):
     from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_ciede
     from snesimage_tpu.ops.ssimulacra2 import (
@@ -310,6 +313,7 @@ def test_fused_coarse_three_level_redmean(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_coarse_three_level_ciede(rng):
     from snesimage_tpu.ops.pallas_metric import coarse_feature_sums_ciede
     from snesimage_tpu.ops.ssimulacra2 import (

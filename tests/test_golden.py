@@ -7,6 +7,7 @@ behavior change breaks it, regenerate the hashes with the snippet in the
 test body and document the change.
 """
 
+import pytest
 import hashlib
 
 import numpy as np
@@ -48,9 +49,11 @@ def _run(dither: bool) -> str:
     return hashlib.sha256(state_to_json(st, cfg).encode()).hexdigest()
 
 
+@pytest.mark.slow
 def test_golden_undithered():
     assert _run(False) == GOLDEN[False]
 
 
+@pytest.mark.slow
 def test_golden_dithered():
     assert _run(True) == GOLDEN[True]

@@ -20,6 +20,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_batched_run_sharded(rng):
     imgs = _images(rng)
     cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64, height=64,
@@ -68,6 +69,7 @@ def test_sharding_actually_partitions(rng):
     assert shards[0].data.shape[0] == 1  # 8 images over 8 devices
 
 
+@pytest.mark.slow
 def test_batched_pad_replicas_excluded_from_mean(rng):
     """n_real excludes mesh-padding replicas from the reported per-step
     mean error: a batch of [A, B] with n_real=1 must report A's errors,
@@ -82,6 +84,7 @@ def test_batched_pad_replicas_excluded_from_mean(rng):
     assert abs(errs_both[0] - errs_real1[0]) > 1e-3  # B actually differs
 
 
+@pytest.mark.slow
 def test_batched_converge_tol_stops_early(rng):
     """The batched fused loop's plateau rule: with a huge tol the run
     stops after cycle+1 sweeps instead of burning the full budget."""
@@ -98,6 +101,7 @@ def test_batched_converge_tol_stops_early(rng):
     assert len(errors0) == 6
 
 
+@pytest.mark.slow
 def test_batched_channel_explore_draws_keys(rng):
     """channel_explore in the batched loop draws per-image keys: the
     explore run's trajectory must diverge from the deterministic sweep
@@ -112,6 +116,7 @@ def test_batched_channel_explore_draws_keys(rng):
     assert errs_exp[-1] <= errs_det[-1] + 1e-3
 
 
+@pytest.mark.slow
 def test_portfolio_channel_explore_diverges(rng):
     """The channel-schedule portfolio draws PER-SEED explore keys
     (round-5 fix: sweep_channel's key=None silently disabled explore and
@@ -127,6 +132,7 @@ def test_portfolio_channel_explore_diverges(rng):
     assert len(set(np.round(seed_errs, 4))) > 1, seed_errs
 
 
+@pytest.mark.slow
 def test_portfolio_keeps_best_seed(rng):
     """portfolio_run optimizes K RNG trajectories of one image and returns
     the one with the minimum final error."""

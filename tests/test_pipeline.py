@@ -51,6 +51,7 @@ def test_schedule_nes_mode():
     assert {v.method for v in visits} == {"nes"}
 
 
+@pytest.mark.slow
 def test_channel_schedule_observed_path_matches_fast(small_image):
     """--schedule channel with an on_slot callback must run channel visits
     (regression: _step_visits ignored config.schedule, yielding 'random'
@@ -88,6 +89,7 @@ def test_channel_schedule_observed_path_matches_fast(small_image):
     assert abs(fast_errs[-1] - obs_errs[-1]) < 0.05
 
 
+@pytest.mark.slow
 def test_full_run_improves_error(small_image):
     cfg = _cfg(max_steps=1)
     st = new_state(small_image, cfg)
@@ -222,6 +224,7 @@ def test_run_wrapper(small_image):
     assert info["optimize_seconds"] > 0
 
 
+@pytest.mark.slow
 def test_non_square_image(rng):
     """The reference only supports 256x256 (and silently corrupts other
     sizes, src/lib.rs:58,565,838); this build generalizes to any
@@ -377,6 +380,7 @@ def test_config_warns_experimental_knobs(caplog):
     assert not caplog.records
 
 
+@pytest.mark.slow
 def test_run_fused_hybrid(small_image):
     """Two-phase hybrid (pipeline.run_fused_hybrid): phase 1 = gated
     fast descent, phase 2 = explore polish continuing from phase 1's

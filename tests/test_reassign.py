@@ -1,5 +1,6 @@
 """Tests for the automatic tile-reassignment extension."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -118,6 +119,7 @@ def test_apply_tile_reassignments(small_image):
         pipeline.apply_tile_reassignments(st, cfg, [(0, 0, 7)])
 
 
+@pytest.mark.slow
 def test_optimize_with_reassign_every(small_image):
     cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64, height=64,
                       max_steps=2)
@@ -129,6 +131,7 @@ def test_optimize_with_reassign_every(small_image):
     assert np.isfinite(errors).all()
 
 
+@pytest.mark.slow
 def test_optimize_on_step_state_midrun(small_image):
     """on_step_state can inject a tile reassignment AFTER optimization has
     started (the reference GUI's mid-optimization click, src/lib.rs:

@@ -32,6 +32,7 @@ def _prepped(small_image, **kw):
     return st, cfg
 
 
+@pytest.mark.slow
 def test_incremental_matches_full_remap(small_image, rng):
     """The incremental undithered candidate evaluation must equal scoring a
     full remap+render with the modified palette."""
@@ -53,6 +54,7 @@ def test_incremental_matches_full_remap(small_image, rng):
     np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_incremental_matches_full_remap_perceptual(small_image, rng):
     st, cfg = _prepped(small_image, perceptual_palettes=True)
     refp = make_reference_pyramid(st)
@@ -124,6 +126,7 @@ def test_nes_replaces_even_when_worse(small_image):
     assert any((entry == n).all() for n in NES_PALETTE_5BIT)
 
 
+@pytest.mark.slow
 def test_dithered_candidate_errors_match_slow_path(small_image, rng):
     st, cfg = _prepped(small_image, dither=True)
     st = full_remap(st, cfg)
@@ -138,6 +141,7 @@ def test_dithered_candidate_errors_match_slow_path(small_image, rng):
     np.testing.assert_allclose(fast, np.asarray(slow), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sweep_matches_per_slot_path(small_image):
     """The on-device fori_loop sweep follows the same schedule and RNG
     stream as the host-driven per-slot path and converges equivalently.
@@ -315,6 +319,7 @@ def test_nes_sweep_ignores_prescreen(small_image):
             assert float(full.error) == float(pre.error)
 
 
+@pytest.mark.slow
 def test_prescreen_matches_full_selection(small_image, rng):
     """Prescreened slot visits must pick the same winning color as full
     scoring when the coarse ranking surfaces the true argmin (validated on
@@ -351,6 +356,7 @@ def test_prescreen_matches_full_selection(small_image, rng):
             )
 
 
+@pytest.mark.slow
 def test_carried_base_matches_legacy(small_image):
     """A slot visit with a carried exact baseline (the on-device sweeps'
     mode: NO baseline row in the candidate batch, acceptance against the
@@ -385,6 +391,7 @@ def test_carried_base_matches_legacy(small_image):
             assert abs(float(carried.error) - exact) < 2e-2, (kw, p, i, ch)
 
 
+@pytest.mark.slow
 def test_channel_explore_sweep(small_image):
     """channel_explore: the sweep accepts only strict improvements (error
     monotone within a trajectory), the fused sweep and the per-slot path
@@ -457,6 +464,7 @@ def test_channel_window_schedule_and_stop():
     assert not any(bool(_is_window_step(ref, s)) for s in range(8))
 
 
+@pytest.mark.slow
 def test_channel_window_stop_only_on_exhaustive(small_image):
     """With a huge tolerance every eligible sweep's delta is below tol;
     the fused loop must still run THROUGH windowed steps and stop only
@@ -509,6 +517,7 @@ def test_channel_window_slot_visit(small_image):
     assert float(res.error) <= float(error_of(st, cfg, refp)) + 1e-4
 
 
+@pytest.mark.slow
 def test_gate_margin_slot_visit(small_image):
     """The rank1 visit gate (QuantConfig.gate_margin): an open gate must
     reproduce the ungated visit exactly (same palette, same carried
@@ -567,6 +576,7 @@ def test_gate_margin_slot_visit(small_image):
         np.testing.assert_array_equal(np.asarray(gb2), np.asarray(gb))
 
 
+@pytest.mark.slow
 def test_gate_margin_sweep_quality(small_image):
     """A gated full channel sweep must stay close to the ungated sweep's
     error on the fixture (the gate only skips visits whose predicted
@@ -624,6 +634,7 @@ def test_accept_margin(small_image):
     assert float(a.error) == float(b.error)
 
 
+@pytest.mark.slow
 def test_gate_exact_confirmation_stop(small_image):
     """The fused loop must not stop on a starved GATED sweep: an
     aggressively large margin starves every gated sweep from step 0, so
@@ -677,6 +688,7 @@ def test_run_fused_three_level_matches_two_level(small_image):
     assert abs(info2["final_error"] - info3["final_error"]) < 1e-3
 
 
+@pytest.mark.slow
 def test_gate_coarse_open_and_closed(small_image):
     """The coarse gate (QuantConfig.gate_coarse): an open gate must
     reproduce the plain gated visit exactly; a prohibitively large margin
@@ -766,6 +778,7 @@ def test_gate_coarse_config_guard():
         QuantConfig(gate_coarse=True)  # requires gate_margin > 0
 
 
+@pytest.mark.slow
 def test_dither_proxy_structure_and_regret(small_image, rng):
     """config.dither_proxy (round 4): exactly K (+ the legacy baseline)
     rows are exactly scored per dithered visit — everything else +inf —
@@ -811,6 +824,7 @@ def test_dither_proxy_structure_and_regret(small_image, rng):
     assert np.isfinite(prox_l).sum() == 7
 
 
+@pytest.mark.slow
 def test_dither_proxy_run_level(small_image):
     """A proxied dithered run (fused sweeps) must stay close to the
     unproxied run: same stop rule, exact acceptance on survivors — the

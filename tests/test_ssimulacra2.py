@@ -64,6 +64,7 @@ def test_asymmetry(rng):
     assert ab != pytest.approx(ba, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_vmap_matches_loop(rng):
     img = _img(rng)
     dis = np.stack(
@@ -126,6 +127,7 @@ def test_score_upper_bound(rng):
     assert s <= 100.0
 
 
+@pytest.mark.slow
 def test_gradients_flow(rng):
     """The metric is differentiable end-to-end (enables future
     gradient-based palette refinement, something the reference cannot do)."""
@@ -156,6 +158,7 @@ def test_golden_score_values():
     assert abs(got - (-40.0645)) < 0.05, got
 
 
+@pytest.mark.slow
 def test_multiscale_fused_block_matches_xla(rng):
     """The multi-scale fused kernel (interpret mode on CPU) must match the
     XLA feature path: in-kernel XYB conversion (exp/log cbrt), blur,
