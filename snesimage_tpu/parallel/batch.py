@@ -473,6 +473,18 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
     return pals, pms, cur, errs, n
 
 
+def portfolio_seeds_degenerate(config: QuantConfig) -> bool:
+    """True when a K-seed portfolio of this config runs K IDENTICAL
+    trajectories: the per-seed RNG streams only matter to random visits
+    and to channel-explore draws, so the NES sweep (always-replace,
+    deterministic) and the plain channel schedule (deterministic
+    coordinate descent, explore off) have nothing for the seeds to
+    diverge on — `--portfolio K` would just multiply cost by K."""
+    return bool(config.nes) or (
+        config.schedule == "channel" and config.channel_explore == 0
+    )
+
+
 def portfolio_run(
     image: np.ndarray,
     config: QuantConfig,
@@ -496,6 +508,16 @@ def portfolio_run(
     Returns (best state (unbatched), per-seed final errors, per-step
     seed-mean error history).
     """
+    if k > 1 and portfolio_seeds_degenerate(config):
+        import logging
+
+        logging.getLogger("snesimage_tpu").warning(
+            "portfolio K=%d on a deterministic schedule (%s%s): the K "
+            "trajectories are identical — use the reference/random "
+            "schedule or --channel-explore to make seeds diverge",
+            k, config.schedule,
+            ", explore off" if config.schedule == "channel" else "",
+        )
     if mesh is not None:
         images = np.ascontiguousarray(
             np.broadcast_to(image[None], (k,) + image.shape)

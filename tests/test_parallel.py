@@ -116,6 +116,24 @@ def test_batched_channel_explore_draws_keys(rng):
     assert errs_exp[-1] <= errs_det[-1] + 1e-3
 
 
+def test_portfolio_degenerate_detection():
+    """portfolio_seeds_degenerate: K seeds only diverge through random
+    visits or channel-explore draws; the deterministic schedules (plain
+    channel descent, NES sweep) run K identical trajectories, and
+    portfolio_run warns rather than silently multiplying cost by K
+    (found on chip: an 8-seed channel portfolio returned eight copies of
+    the same final error)."""
+    base = dict(subpalette_count=2, subpalette_size=3, width=64, height=64)
+    assert pb.portfolio_seeds_degenerate(
+        QuantConfig(**base, schedule="channel")
+    )
+    assert pb.portfolio_seeds_degenerate(QuantConfig(**base, nes=True))
+    assert not pb.portfolio_seeds_degenerate(
+        QuantConfig(**base, schedule="channel", channel_explore=8)
+    )
+    assert not pb.portfolio_seeds_degenerate(QuantConfig(**base))  # reference
+
+
 @pytest.mark.slow
 def test_portfolio_channel_explore_diverges(rng):
     """The channel-schedule portfolio draws PER-SEED explore keys

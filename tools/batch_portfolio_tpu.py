@@ -46,9 +46,13 @@ def main():
     }), flush=True)
 
     # Portfolio: 8 RNG seeds of one dithered flagship image, keep best.
+    # Reference schedule: its random visits draw per-seed keys, so the
+    # trajectories genuinely diverge (the plain channel schedule is
+    # deterministic — K identical copies; portfolio_seeds_degenerate).
+    # Round-3 measured the same shape at 44.2 s warm.
     config_p = QuantConfig(
         subpalette_count=8, subpalette_size=15, dither=True, max_steps=6,
-        converge_tol=0.5, schedule="channel", prescreen=8, prescreen_full=2,
+        converge_tol=0.5, schedule="reference", prescreen=8, prescreen_full=2,
     )
     img = _test_image()
     pb.portfolio_run(img, config_p, 2)  # compile

@@ -74,15 +74,15 @@ def kern_probe(g: int, b0: int = 33):
     return out.shape
 
 
-def portfolio_probe(k: int, schedule: str):
+def portfolio_probe(k: int, schedule: str, steps: int = 1):
     from snesimage_tpu.parallel import batch as pb
 
     config = QuantConfig(
-        subpalette_count=8, subpalette_size=15, dither=True, max_steps=1,
+        subpalette_count=8, subpalette_size=15, dither=True, max_steps=steps,
         converge_tol=0.5, schedule=schedule, prescreen=8, prescreen_full=2,
     )
     img = _test_image()
-    _, seed_errs, _ = pb.portfolio_run(img, config, k, max_steps=1)
+    _, seed_errs, _ = pb.portfolio_run(img, config, k, max_steps=steps)
     assert np.isfinite(seed_errs).all(), seed_errs
     return seed_errs
 
@@ -100,6 +100,10 @@ def main():
         res = portfolio_probe(8, "reference")
     elif name == "k4s1":
         res = portfolio_probe(4, "channel")
+    elif name.startswith("k8ch"):  # k8chN: K=8 channel, N steps
+        res = portfolio_probe(8, "channel", int(name[4:]))
+    elif name.startswith("k8rf"):  # k8rfN: K=8 reference, N steps
+        res = portfolio_probe(8, "reference", int(name[4:]))
     else:
         raise SystemExit(f"unknown probe {name}")
     dt = time.perf_counter() - t0

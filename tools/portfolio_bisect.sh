@@ -27,8 +27,15 @@ print('ok', jax.default_backend())
   done
 }
 
-for probe in kern_g8 kern_g7 kern_g4 k8s1 k8ref k4s1; do
+PROBES=${PROBES:-kern_g8 kern_g7 kern_g4 k8s1 k8ref k4s1}
+FAILED_FAMILY=""
+for probe in $PROBES; do
   if grep -q "^$probe " "$RES" 2>/dev/null; then continue; fi
+  fam=${probe%%[0-9]*}
+  if [ -n "$FAILED_FAMILY" ] && [ "$fam" = "$FAILED_FAMILY" ]; then
+    echo "$probe skipped (family $fam already crashed)" | tee -a "$RES"
+    continue
+  fi
   wait_tunnel
   echo "=== $probe ($(date +%H:%M:%S))" | tee -a "$RES"
   timeout 1200 python tools/portfolio_bisect.py "$probe" \
@@ -36,5 +43,6 @@ for probe in kern_g8 kern_g7 kern_g4 k8s1 k8ref k4s1; do
   rc=$?
   line=$(grep "PROBE" "$LOG/$probe.log" | tail -1)
   echo "$probe rc=$rc $line" | tee -a "$RES"
+  if [ $rc -ne 0 ]; then FAILED_FAMILY=$fam; fi
 done
 echo "bisect done ($(date +%H:%M:%S))" | tee -a "$RES"
