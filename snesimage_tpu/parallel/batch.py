@@ -153,15 +153,24 @@ def bmean_error(states, config: QuantConfig, refp) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("config", "cap", "n_real"))
 def _boptimize_fused(
-    states, config: QuantConfig, refp, max_steps, cap: int, n_real: int
+    config: QuantConfig, refp, start, stop_at, cap: int, n_real: int, carry
 ):
-    """All scheduler steps for the whole batch as ONE XLA program (a host
-    sync through the tunnel costs ~200 ms; a chunked multi-step batch run
-    would otherwise pay it once per step per chunk). Mirrors the schedule
-    and RNG stream of the single-image fused loop: a fori_loop over steps
-    with the schedule as lax.cond, so one compilation serves ANY step
-    budget up to the static buffer bound `cap` (the previous Python unroll
-    recompiled per distinct max_steps and grew the program linearly).
+    """Scheduler steps [start, stop_at) for the whole batch as ONE XLA
+    program segment (a host sync through the tunnel costs ~200 ms; a
+    chunked multi-step batch run would otherwise pay it once per step per
+    chunk). Mirrors the schedule and RNG stream of the single-image fused
+    loop: a while_loop over steps with the schedule as lax.cond, so one
+    compilation serves ANY step budget up to the static buffer bound
+    `cap` (the previous Python unroll recompiled per distinct max_steps
+    and grew the program linearly).
+
+    `carry` = (states, key, cur, errs, stop) — the full loop state,
+    including the RNG key and the per-step error buffer (the convergence
+    test reads errs[local - cycle] across segment boundaries), so a run
+    split into segments by batched_optimize is bitwise-identical to one
+    fused dispatch. Segmentation bounds single-device-execution length:
+    dispatches beyond ~60 s kill the axon-tunneled TPU worker
+    (tools/portfolio_bisect.sh, round 5).
 
     `n_real`: the number of genuine images at the front of the batch —
     callers pad to a multiple of the mesh size with replicas, and those
@@ -181,9 +190,8 @@ def _boptimize_fused(
     random sweeps' key stream)."""
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
-    b = jax.tree.leaves(states)[0].shape[0]
-    key0 = jax.random.key(config.seed)
-    max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+    b = jax.tree.leaves(carry[0])[0].shape[0]
+    stop_at = jnp.minimum(jnp.int32(stop_at), cap)
     # Real-image weights: mean over the first n_real entries only.
     w = (jnp.arange(b) < n_real).astype(jnp.float32) / jnp.float32(n_real)
     cycle = pipeline._stop_cycle(config)
@@ -262,12 +270,12 @@ def _boptimize_fused(
             (states, key, cur),
         )
 
-    def cond(carry):
-        _, _, local, _, _, stop = carry
-        return (local < max_steps) & ~stop
+    def cond(c):
+        _, _, local, _, _, stop = c
+        return (local < stop_at) & ~stop
 
-    def body(carry):
-        states, key, local, cur, errs, stop = carry
+    def body(c):
+        states, key, local, cur, errs, stop = c
         states, err, key = step_fn(states, key, local, cur)
         mean = jnp.sum(err * w)  # sharded batch: XLA lowers to an all-reduce
         errs = errs.at[local].set(mean)
@@ -278,19 +286,10 @@ def _boptimize_fused(
             )
         return states, key, local + 1, err, errs, stop
 
-    # Exact per-image errors carried across sweeps (refine._pick): each
-    # visit compares candidates against the carried value instead of
-    # re-scoring the current color in-batch.
-    cur0 = jax.vmap(
-        lambda s, r: refine.frame_error_fused(s, config, r)
-    )(states, refp)
-    init = (
-        states, key0, jnp.int32(0), cur0,
-        jnp.full((cap,), jnp.nan, jnp.float32),
-        jnp.bool_(False),
-    )
-    states, _, n, _, errs, _ = jax.lax.while_loop(cond, body, init)
-    return states, errs, n
+    states0, key0, cur0, errs0, stop0 = carry
+    init = (states0, key0, jnp.int32(start), cur0, errs0, stop0)
+    states, key, n, cur, errs, stop = jax.lax.while_loop(cond, body, init)
+    return (states, key, cur, errs, stop), n
 
 
 def batched_optimize(
@@ -300,25 +299,58 @@ def batched_optimize(
     mesh: Mesh | None = None,
     max_steps: int | None = None,
     n_real: int | None = None,
+    segment_steps: int | None = None,
 ) -> tuple[QuantState, list[float]]:
     """Run the full scheduler over a batch of images in SPMD lockstep.
 
     `n_real`: genuine images at the front of the batch (the rest being
     mesh-padding replicas, excluded from the reported/convergence-tested
-    mean error); None = the whole batch is real."""
+    mean error); None = the whole batch is real.
+
+    Dispatches in segments of `segment_steps` steps (default: the same
+    measured per-dispatch budget as portfolio_run, divided by the batch
+    size) — bitwise-identical to one fused dispatch (the RNG key and the
+    error history ride the carry), at one ~200 ms host sync per segment.
+    See _PORTFOLIO_SEG_SEED_STEPS*."""
     if mesh is not None:
         states = shard_states(states, mesh)
     if max_steps is None:
         max_steps = config.max_steps
+    b = int(jax.tree.leaves(states)[0].shape[0])
     if n_real is None:
-        n_real = int(jax.tree.leaves(states)[0].shape[0])
+        n_real = b
+    if segment_steps is None:
+        budget = (_PORTFOLIO_SEG_SEED_STEPS_DITHER if config.dither
+                  else _PORTFOLIO_SEG_SEED_STEPS)
+        # Across a mesh the batch runs data-parallel: the per-device
+        # execution only covers b / n_devices images.
+        per_dev = max(1, b // (mesh.devices.size if mesh is not None else 1))
+        segment_steps = max(1, budget // per_dev)
 
     refp = brefp(states, config)
     cap = max(config.max_steps, max_steps)
-    states, errs, n = _boptimize_fused(
-        states, config, refp, max_steps, cap, n_real
+    # Exact per-image errors carried across sweeps (refine._pick): each
+    # visit compares candidates against the carried value instead of
+    # re-scoring the current color in-batch.
+    cur0 = jax.vmap(
+        lambda s, r: refine.frame_error_fused(s, config, r)
+    )(states, refp)
+    carry = (
+        states, jax.random.key(config.seed), cur0,
+        jnp.full((cap,), jnp.nan, jnp.float32), jnp.bool_(False),
     )
-    return states, [float(e) for e in np.asarray(errs)[: int(n)]]
+    done = 0
+    while done < max_steps:
+        nxt = min(done + segment_steps, max_steps)
+        carry, n = _boptimize_fused(
+            config, refp, jnp.int32(done), jnp.int32(nxt), cap, n_real,
+            carry,
+        )
+        done = int(n)  # host sync: this segment is done
+        if bool(np.asarray(carry[4])):  # converge_tol fired mid-segment
+            break
+    states, _, _, errs, _ = carry
+    return states, [float(e) for e in np.asarray(errs)[:done]]
 
 
 def batched_run(
@@ -342,8 +374,17 @@ def batched_run(
 
 @partial(jax.jit, static_argnames=("config", "k", "cap"))
 def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
-                     max_steps, cap: int):
-    """K seed trajectories of ONE shared image as one XLA program.
+                     start, stop, cap: int, carry):
+    """K seed trajectories of ONE shared image as one XLA program segment.
+
+    Runs steps [start, stop) from `carry` = (per-seed palettes, per-seed
+    palette maps, RNG key, per-seed current errors) and returns the
+    advanced carry plus this segment's per-step seed-mean errors.
+    Because the RNG key itself is carried, a run split into segments is
+    bitwise-identical to one fused dispatch — portfolio_run uses this to
+    bound single-device-execution length (measured on the axon tunnel:
+    a K=8 dithered portfolio crashes the TPU worker at 4 fused steps
+    ~60 s while 3 steps ~45 s complete; tools/portfolio_bisect.sh).
 
     The image-derived fields (`original`, `tile_palettes` — deterministic
     init, identical across seeds) stay UNBATCHED: only the per-seed
@@ -358,8 +399,7 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
     match the image-batched portfolio up to f32 reassociation."""
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
-    key0 = jax.random.key(config.seed)
-    max_steps = jnp.minimum(jnp.int32(max_steps), cap)
+    stop = jnp.minimum(jnp.int32(stop), cap)
     shared = state
 
     def seed_state(pal, pm):
@@ -452,25 +492,23 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
             (pals, pms, key, cur),
         )
 
-    def cond(carry):
-        local = carry[3]
-        return local < max_steps
+    def cond(c):
+        local = c[3]
+        return local < stop
 
-    def body(carry):
-        pals, pms, key, local, cur, errs = carry
+    def body(c):
+        pals, pms, key, local, cur, errs = c
         pals, pms, cur, key = step_fn(pals, pms, key, local, cur)
         errs = errs.at[local].set(jnp.mean(cur))
         return pals, pms, key, local + 1, cur, errs
 
-    bc = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
-    cur0 = refine.frame_error_fused(state, config, refp)
+    pals0, pms0, key0, cur0 = carry
     init = (
-        bc(state.palette), bc(state.palette_map), key0, jnp.int32(0),
-        jnp.broadcast_to(cur0, (k,)),
+        pals0, pms0, key0, jnp.int32(start), cur0,
         jnp.full((cap,), jnp.nan, jnp.float32),
     )
-    pals, pms, _, n, cur, errs = jax.lax.while_loop(cond, body, init)
-    return pals, pms, cur, errs, n
+    pals, pms, key, n, cur, errs = jax.lax.while_loop(cond, body, init)
+    return pals, pms, key, cur, errs, n
 
 
 def portfolio_seeds_degenerate(config: QuantConfig) -> bool:
@@ -485,6 +523,16 @@ def portfolio_seeds_degenerate(config: QuantConfig) -> bool:
     )
 
 
+# Single-dispatch budget for the single-chip portfolio, in seed-steps
+# (K x steps). Calibrated on the axon-tunneled v5e (tools/
+# portfolio_bisect.sh): a dithered K=8 run completes 3 fused steps
+# (24 seed-steps, ~45 s device time) but the worker dies at 4 (~60 s) —
+# same class as round 3's 44.2 s single dispatch that passed. Undithered
+# steps are ~20x cheaper, hence the larger budget.
+_PORTFOLIO_SEG_SEED_STEPS_DITHER = 24
+_PORTFOLIO_SEG_SEED_STEPS = 512
+
+
 def portfolio_run(
     image: np.ndarray,
     config: QuantConfig,
@@ -492,6 +540,7 @@ def portfolio_run(
     *,
     mesh: Mesh | None = None,
     max_steps: int | None = None,
+    segment_steps: int | None = None,
 ) -> tuple[QuantState, np.ndarray, list[float]]:
     """Seed portfolio (extension): optimize K trajectories of ONE image —
     identical schedule, independent RNG streams — and keep the best.
@@ -504,6 +553,14 @@ def portfolio_run(
     the latency-bound stage — is paid once, not K times. With a mesh the
     K copies shard as an image batch instead (wall-clock-free at
     K <= n_devices).
+
+    The single-chip loop dispatches in SEGMENTS of `segment_steps` steps
+    (default: a measured seed-step budget, see _PORTFOLIO_SEG_SEED_STEPS*)
+    — the RNG key is carried across segments so the trajectory is
+    bitwise-identical to one fused dispatch, at one host sync per
+    segment. This bounds single-device-execution length: large fused
+    K-seed dispatches exceed the axon worker's tolerance (~60 s) and
+    kill it (tools/portfolio_bisect.sh, round 5).
 
     Returns (best state (unbatched), per-seed final errors, per-step
     seed-mean error history).
@@ -553,13 +610,33 @@ def portfolio_run(
     if max_steps is None:
         max_steps = config.max_steps
     cap = max(config.max_steps, max_steps, 1)
-    pals, pms, cur, errs, n = _portfolio_fused(
-        state, config, refp, k, max_steps, cap
+    if segment_steps is None:
+        budget = (_PORTFOLIO_SEG_SEED_STEPS_DITHER if config.dither
+                  else _PORTFOLIO_SEG_SEED_STEPS)
+        segment_steps = max(1, budget // max(k, 1))
+    bc = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
+    cur0 = refine.frame_error_fused(state, config, refp)
+    carry = (
+        bc(state.palette), bc(state.palette_map),
+        jax.random.key(config.seed), jnp.broadcast_to(cur0, (k,)),
     )
+    step_errors: list[float] = []
+    done = 0
+    while done < max_steps:
+        nxt = min(done + segment_steps, max_steps)
+        pals, pms, key, cur, errs, n = _portfolio_fused(
+            state, config, refp, k, jnp.int32(done), jnp.int32(nxt), cap,
+            carry,
+        )
+        carry = (pals, pms, key, cur)
+        e = np.asarray(errs)  # host sync: this segment is done
+        n = int(n)
+        step_errors += [float(x) for x in e[done:n]]
+        done = n
+    pals, pms, _, cur = carry
     seed_errs = np.asarray(cur)
     best = int(seed_errs.argmin())
     best_state = QuantState(
         state.original, state.tile_palettes, pals[best], pms[best]
     )
-    step_errors = [float(e) for e in np.asarray(errs)[: int(n)]]
     return best_state, seed_errs, step_errors

@@ -171,6 +171,25 @@ def test_portfolio_keeps_best_seed(rng):
 
 
 @pytest.mark.slow
+def test_portfolio_segmented_matches_fused(rng):
+    """Segmented portfolio dispatch (round 5: bounds single-device
+    execution length below the axon worker's ~60 s tolerance) is
+    bitwise-identical to one fused dispatch — the RNG key rides the
+    carry, so splitting changes only where the host syncs."""
+    img = _images(rng, b=1)[0]
+    cfg = QuantConfig(
+        subpalette_count=2, subpalette_size=3, width=64, height=64,
+        max_steps=3, dither=True,
+    )
+    best1, errs1, steps1 = pb.portfolio_run(img, cfg, 2, segment_steps=3)
+    best2, errs2, steps2 = pb.portfolio_run(img, cfg, 2, segment_steps=1)
+    np.testing.assert_array_equal(errs1, errs2)
+    assert steps1 == steps2 and len(steps1) == 3
+    for a, b in zip(best1, best2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_two_process_multihost_batch(tmp_path, rng):
     """Multi-host scale-out, one notch past the unit-tested shard math
     (VERDICT r3 item 8): TWO concurrent batch_cli processes, each acting

@@ -31,7 +31,7 @@ PROBES=${PROBES:-kern_g8 kern_g7 kern_g4 k8s1 k8ref k4s1}
 FAILED_FAMILY=""
 for probe in $PROBES; do
   if grep -q "^$probe " "$RES" 2>/dev/null; then continue; fi
-  fam=${probe%%[0-9]*}
+  fam=$(printf '%s' "$probe" | sed 's/[0-9]*$//')  # strip trailing digits only
   if [ -n "$FAILED_FAMILY" ] && [ "$fam" = "$FAILED_FAMILY" ]; then
     echo "$probe skipped (family $fam already crashed)" | tee -a "$RES"
     continue
