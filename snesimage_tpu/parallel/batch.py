@@ -374,17 +374,22 @@ def batched_run(
 
 @partial(jax.jit, static_argnames=("config", "k", "cap"))
 def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
-                     start, stop, cap: int, carry):
+                     start, stop_at, cap: int, carry):
     """K seed trajectories of ONE shared image as one XLA program segment.
 
-    Runs steps [start, stop) from `carry` = (per-seed palettes, per-seed
-    palette maps, RNG key, per-seed current errors) and returns the
-    advanced carry plus this segment's per-step seed-mean errors.
-    Because the RNG key itself is carried, a run split into segments is
-    bitwise-identical to one fused dispatch — portfolio_run uses this to
-    bound single-device-execution length (measured on the axon tunnel:
-    a K=8 dithered portfolio crashes the TPU worker at 4 fused steps
-    ~60 s while 3 steps ~45 s complete; tools/portfolio_bisect.sh).
+    Runs steps [start, stop_at) from `carry` = (per-seed palettes,
+    per-seed palette maps, RNG key, per-seed current errors, seed-mean
+    error history, stop flag) and returns the advanced carry. Because
+    the RNG key and the error history ride the carry, a run split into
+    segments is bitwise-identical to one fused dispatch — portfolio_run
+    uses this to bound single-device-execution length (measured on the
+    axon tunnel: a K=8 dithered portfolio crashes the TPU worker at 4
+    fused steps ~60 s while 3 steps ~45 s complete;
+    tools/portfolio_bisect.sh).
+
+    With `config.converge_tol > 0`, stops early when the SEED-MEAN error
+    improves by less than tol over one full schedule cycle — the same
+    rule as _boptimize_fused applies over the batch mean.
 
     The image-derived fields (`original`, `tile_palettes` — deterministic
     init, identical across seeds) stay UNBATCHED: only the per-seed
@@ -399,7 +404,9 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
     match the image-batched portfolio up to f32 reassociation."""
     from snesimage_tpu.constants import RANDOM_STEPS_PER_CYCLE, SCHEDULE_CYCLE
 
-    stop = jnp.minimum(jnp.int32(stop), cap)
+    stop_at = jnp.minimum(jnp.int32(stop_at), cap)
+    cycle = pipeline._stop_cycle(config)
+    tol = jnp.float32(config.converge_tol)
     shared = state
 
     def seed_state(pal, pm):
@@ -493,22 +500,25 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
         )
 
     def cond(c):
-        local = c[3]
-        return local < stop
+        local, stop = c[3], c[6]
+        return (local < stop_at) & ~stop
 
     def body(c):
-        pals, pms, key, local, cur, errs = c
+        pals, pms, key, local, cur, errs, stop = c
         pals, pms, cur, key = step_fn(pals, pms, key, local, cur)
-        errs = errs.at[local].set(jnp.mean(cur))
-        return pals, pms, key, local + 1, cur, errs
+        mean = jnp.mean(cur)
+        errs = errs.at[local].set(mean)
+        if config.converge_tol > 0:
+            prev = jnp.where(local >= cycle, errs[local - cycle], jnp.inf)
+            stop = (prev - mean < tol) & ~pipeline._is_window_step(
+                config, local
+            )
+        return pals, pms, key, local + 1, cur, errs, stop
 
-    pals0, pms0, key0, cur0 = carry
-    init = (
-        pals0, pms0, key0, jnp.int32(start), cur0,
-        jnp.full((cap,), jnp.nan, jnp.float32),
-    )
-    pals, pms, key, n, cur, errs = jax.lax.while_loop(cond, body, init)
-    return pals, pms, key, cur, errs, n
+    pals0, pms0, key0, cur0, errs0, stop0 = carry
+    init = (pals0, pms0, key0, jnp.int32(start), cur0, errs0, stop0)
+    pals, pms, key, n, cur, errs, stop = jax.lax.while_loop(cond, body, init)
+    return (pals, pms, key, cur, errs, stop), n
 
 
 def portfolio_seeds_degenerate(config: QuantConfig) -> bool:
@@ -619,21 +629,20 @@ def portfolio_run(
     carry = (
         bc(state.palette), bc(state.palette_map),
         jax.random.key(config.seed), jnp.broadcast_to(cur0, (k,)),
+        jnp.full((cap,), jnp.nan, jnp.float32), jnp.bool_(False),
     )
-    step_errors: list[float] = []
     done = 0
     while done < max_steps:
         nxt = min(done + segment_steps, max_steps)
-        pals, pms, key, cur, errs, n = _portfolio_fused(
+        carry, n = _portfolio_fused(
             state, config, refp, k, jnp.int32(done), jnp.int32(nxt), cap,
             carry,
         )
-        carry = (pals, pms, key, cur)
-        e = np.asarray(errs)  # host sync: this segment is done
-        n = int(n)
-        step_errors += [float(x) for x in e[done:n]]
-        done = n
-    pals, pms, _, cur = carry
+        done = int(n)  # host sync: this segment is done
+        if bool(np.asarray(carry[5])):  # converge_tol fired mid-segment
+            break
+    pals, pms, _, cur, errs, _ = carry
+    step_errors = [float(e) for e in np.asarray(errs)[:done]]
     seed_errs = np.asarray(cur)
     best = int(seed_errs.argmin())
     best_state = QuantState(

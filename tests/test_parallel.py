@@ -170,6 +170,18 @@ def test_portfolio_keeps_best_seed(rng):
     assert abs(got - float(seed_errs.min())) < 1e-3
 
 
+def test_portfolio_converge_tol_stops_early(rng):
+    """The portfolio loop honors converge_tol on the SEED-MEAN error
+    (round 5; previously --portfolio silently ignored --tol): with a
+    huge tol the run stops after cycle+1 steps."""
+    imgs = _images(rng, b=1)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=6, schedule="channel",
+                      channel_explore=4, converge_tol=1e9)
+    _, _, steps = pb.portfolio_run(imgs[0], cfg, 2)
+    assert len(steps) == 2, steps
+
+
 @pytest.mark.slow
 def test_portfolio_segmented_matches_fused(rng):
     """Segmented portfolio dispatch (round 5: bounds single-device
