@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
                 "(pipeline.run_fused_hybrid); batch mode runs one fused "
                 "config per batch — use fast or quality"
             )
+        if args.opt_profile == "robust":
+            raise ValueError(
+                "--opt-profile robust is balanced + a seed portfolio, a "
+                "single-image dispatch shape; batch mode batches IMAGES "
+                "on the same axis — use balanced here and run seed "
+                "portfolios per image with the single-image CLI"
+            )
         geometry = merge_geometry(args)
         opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
         opt.update(

@@ -114,6 +114,23 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
             accept_margin=0.005,
         ),
     ),
+    # 'balanced' + a K=2 seed portfolio: explore recipes are seed-
+    # sensitive (balanced seeds 0/1/2 land 115.0/119.3/113.4 on the
+    # bench image) and periodic tile reassignment measured as a
+    # non-fix, so best-of-2 trajectories is the supported robustness
+    # mechanism. Chip-measured (round 5, BENCHMARKS.md "Seed
+    # portfolio"): 3.47 s, kept 114.93 — in-band at ~2x balanced cost.
+    # The portfolio default (2) lives in main(), not here: K is a CLI
+    # dispatch concern, not a QuantConfig field.
+    "robust": (
+        "the 'balanced' recipe as a K=2 seed portfolio, keep the best "
+        "— in-band quality robust to the seed lottery at ~2x cost",
+        dict(
+            schedule="channel", prescreen=8, prescreen_full=2,
+            channel_explore=16, converge_tol=0.0, max_steps=8,
+            accept_margin=0.005,
+        ),
+    ),
 }
 
 
@@ -267,11 +284,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Random candidates per slot visit (reference: 64)",
     )
     p.add_argument(
-        "--portfolio", type=int, default=1, metavar="K",
+        "--portfolio", type=int, default=None, metavar="K",
         help="Optimize K independent random-seed trajectories as one "
         "on-device batch and keep the best (extension; the reference runs "
         "a single OS-seeded trajectory). Only meaningful with random "
-        "steps in the schedule; ignores -v/--profile-dir/--resume",
+        "steps in the schedule; ignores -v/--profile-dir/--resume. "
+        "Default 1 (2 under --opt-profile robust)",
     )
     p.add_argument("--checkpoint", help="Write a resumable .npz checkpoint here")
     p.add_argument("--resume", help="Resume from a .npz checkpoint")
@@ -339,10 +357,21 @@ def merge_geometry(args) -> dict:
     return explicit
 
 
+def resolve_portfolio_k(args) -> int:
+    """The 'robust' profile is 'balanced' + a K=2 seed portfolio; an
+    explicit --portfolio always wins (None = not passed). K is a CLI
+    dispatch concern, not a QuantConfig field, so it is resolved here
+    rather than through OPT_PROFILES."""
+    if args.portfolio is not None:
+        return args.portfolio
+    return 2 if args.opt_profile == "robust" else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     setup_logger(logging.DEBUG if args.verbose else logging.INFO)
     log = logging.getLogger("snesimage_tpu")
+    args.portfolio = resolve_portfolio_k(args)
 
     # Imports deferred so `--help` stays fast (no JAX init).
     from snesimage_tpu.config import QuantConfig

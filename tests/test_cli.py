@@ -279,6 +279,36 @@ def test_opt_profile_resolution():
     cfg = resolve(["a", "b", "--opt-profile", "balanced", "--steps", "10"])
     assert cfg.max_steps == 10  # explicit budget still overrides
 
+    # robust = the balanced recipe dispatched as a K=2 seed portfolio
+    # (round 5; the K default is resolved in main(), tested below).
+    assert OPT_PROFILES["robust"][1] == OPT_PROFILES["balanced"][1]
+
+
+def test_robust_profile_portfolio_default(tmp_path):
+    """--opt-profile robust defaults --portfolio to 2; an explicit
+    --portfolio always wins; other profiles keep the default of 1; the
+    batch CLI rejects the profile (portfolio is a single-image shape)."""
+    from snesimage_tpu import cli
+
+    def resolved_k(argv):
+        return cli.resolve_portfolio_k(cli.build_parser().parse_args(argv))
+
+    assert resolved_k(["a", "b"]) == 1
+    assert resolved_k(["a", "b", "--opt-profile", "balanced"]) == 1
+    assert resolved_k(["a", "b", "--opt-profile", "robust"]) == 2
+    assert resolved_k(["a", "b", "--opt-profile", "robust",
+                       "--portfolio", "4"]) == 4
+    assert resolved_k(["a", "b", "--opt-profile", "robust",
+                       "--portfolio", "1"]) == 1
+
+    from snesimage_tpu.batch_cli import main as batch_main
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rc = batch_main([str(indir), str(tmp_path / "out"),
+                     "--opt-profile", "robust"])
+    assert rc == 1
+
 
 def test_hybrid_profile_cli(tmp_path):
     """--opt-profile hybrid: phase 2 fields come from the profile dict
