@@ -120,11 +120,29 @@ def bslot_nes(states, config: QuantConfig, refp, p, i):
     )
 
 
-# The batched paths pass use_gate=False everywhere: under vmap the
-# gate's lax.cond lowers to a select that computes both branches, so
-# there is no speed win — only the content-dependent quality risk of
-# skipped visits (and the batched loop has no exact-confirmation stop).
-# Batched sweeps therefore always score exactly.
+def _plateau_stop(errs, local, mean, cycle, tol, config: QuantConfig):
+    """Shared converge_tol rule of the two fused batch loops: stop when
+    the aggregate error improved by less than `tol` over one full
+    schedule cycle (inf sentinel before a full cycle exists; never fires
+    on a windowed sweep). Sound ONLY because every batched/portfolio
+    sweep scores exactly (use_gate=False everywhere — see the note
+    below): a gated sweep's sub-tol improvement can mean visits were
+    skipped, not that the run converged, which is why the single-image
+    loop needs its exact-confirmation pass and these loops don't."""
+    prev = jnp.where(local >= cycle, errs[local - cycle], jnp.inf)
+    return (prev - mean < tol) & ~pipeline._is_window_step(config, local)
+
+
+# The batched paths pass use_gate=False everywhere (the portfolio loop
+# too): under vmap the gate's lax.cond lowers to a select that computes
+# both branches, so there is no speed win — only the content-dependent
+# quality risk of skipped visits (and these loops have no
+# exact-confirmation stop; see _plateau_stop). Gating also does not
+# batch at all: a gated sweep under the seed/image vmap fails to trace
+# (custom_vmap consts assertion via gate_base_fused — observed as a
+# user-facing crash of gated-config portfolios before round 5 fixed
+# these call sites to use_gate=False). Batched sweeps therefore always
+# score exactly.
 @partial(jax.jit, static_argnames=("config",))
 def bsweep_random(states, config: QuantConfig, refp, keys):
     """One full random step for every image, fully on-device."""
@@ -280,10 +298,7 @@ def _boptimize_fused(
         mean = jnp.sum(err * w)  # sharded batch: XLA lowers to an all-reduce
         errs = errs.at[local].set(mean)
         if config.converge_tol > 0:
-            prev = jnp.where(local >= cycle, errs[local - cycle], jnp.inf)
-            stop = (prev - mean < tol) & ~pipeline._is_window_step(
-                config, local
-            )
+            stop = _plateau_stop(errs, local, mean, cycle, tol, config)
         return states, key, local + 1, err, errs, stop
 
     states0, key0, cur0, errs0, stop0 = carry
@@ -346,8 +361,11 @@ def batched_optimize(
             config, refp, jnp.int32(done), jnp.int32(nxt), cap, n_real,
             carry,
         )
-        done = int(n)  # host sync: this segment is done
-        if bool(np.asarray(carry[4])):  # converge_tol fired mid-segment
+        # ONE host sync per segment fetches both scalars (~200 ms each
+        # on the tunnel; two np.asarray calls would pay it twice).
+        n_host, stop_host = jax.device_get((n, carry[4]))
+        done = int(n_host)
+        if bool(stop_host):  # converge_tol fired mid-segment
             break
     states, _, _, errs, _ = carry
     return states, [float(e) for e in np.asarray(errs)[:done]]
@@ -440,14 +458,14 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
                     res = jax.vmap(
                         lambda pal, pm, e, kk: refine.sweep_channel(
                             seed_state(pal, pm), config, refp, e, key=kk,
-                            window=window,
+                            window=window, use_gate=False,
                         )
                     )(pals, pms, cur, keys)
                 else:
                     res = jax.vmap(
                         lambda pal, pm, e: refine.sweep_channel(
                             seed_state(pal, pm), config, refp, e,
-                            window=window,
+                            window=window, use_gate=False,
                         )
                     )(pals, pms, cur)
                 return unpack(res)
@@ -469,7 +487,8 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
             keys = jax.random.split(sub, k)
             res = jax.vmap(
                 lambda pal, pm, kk, e: refine.sweep_random(
-                    seed_state(pal, pm), config, refp, kk, e
+                    seed_state(pal, pm), config, refp, kk, e,
+                    use_gate=False,
                 )
             )(pals, pms, keys, cur)
             return unpack(res) + (key,)
@@ -481,13 +500,15 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
                 keys = jax.random.split(sub, k)
                 res = jax.vmap(
                     lambda pal, pm, e, kk: refine.sweep_channel(
-                        seed_state(pal, pm), config, refp, e, key=kk
+                        seed_state(pal, pm), config, refp, e, key=kk,
+                        use_gate=False,
                     )
                 )(pals, pms, cur, keys)
             else:
                 res = jax.vmap(
                     lambda pal, pm, e: refine.sweep_channel(
-                        seed_state(pal, pm), config, refp, e
+                        seed_state(pal, pm), config, refp, e,
+                        use_gate=False,
                     )
                 )(pals, pms, cur)
             return unpack(res) + (key,)
@@ -509,10 +530,7 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
         mean = jnp.mean(cur)
         errs = errs.at[local].set(mean)
         if config.converge_tol > 0:
-            prev = jnp.where(local >= cycle, errs[local - cycle], jnp.inf)
-            stop = (prev - mean < tol) & ~pipeline._is_window_step(
-                config, local
-            )
+            stop = _plateau_stop(errs, local, mean, cycle, tol, config)
         return pals, pms, key, local + 1, cur, errs, stop
 
     pals0, pms0, key0, cur0, errs0, stop0 = carry
@@ -638,8 +656,11 @@ def portfolio_run(
             state, config, refp, k, jnp.int32(done), jnp.int32(nxt), cap,
             carry,
         )
-        done = int(n)  # host sync: this segment is done
-        if bool(np.asarray(carry[5])):  # converge_tol fired mid-segment
+        # ONE host sync per segment fetches both scalars (see
+        # batched_optimize).
+        n_host, stop_host = jax.device_get((n, carry[5]))
+        done = int(n_host)
+        if bool(stop_host):  # converge_tol fired mid-segment
             break
     pals, pms, _, cur, errs, _ = carry
     step_errors = [float(e) for e in np.asarray(errs)[:done]]

@@ -182,6 +182,41 @@ def test_portfolio_converge_tol_stops_early(rng):
     assert len(steps) == 2, steps
 
 
+def test_portfolio_converge_tol_across_segments(rng):
+    """The carried stop flag and error history survive segment
+    boundaries: a tol-stopped run dispatched one step per segment stops
+    at the same step with the same per-step errors as the single-segment
+    dispatch (the errs[local - cycle] lookup reads across the boundary)."""
+    imgs = _images(rng, b=1)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=6, schedule="channel",
+                      channel_explore=4, converge_tol=1e9)
+    _, errs1, steps1 = pb.portfolio_run(imgs[0], cfg, 2)
+    _, errs2, steps2 = pb.portfolio_run(imgs[0], cfg, 2, segment_steps=1)
+    assert steps1 == steps2 and len(steps1) == 2, (steps1, steps2)
+    np.testing.assert_array_equal(errs1, errs2)
+
+
+def test_portfolio_gated_config_runs(rng):
+    """A gated config (--opt-profile fast: gate_margin + tol >= 0.25,
+    explore off on the channel schedule) must run as a portfolio: the
+    portfolio sweeps pass use_gate=False like every batched path (round
+    5 fix; previously the gate's custom_vmap consts failed to trace
+    under the seed vmap — a user-facing crash of
+    `--opt-profile fast --portfolio K`), which also keeps the seed-mean
+    plateau stop sound (exact sweeps need no confirmation pass)."""
+    imgs = _images(rng, b=1)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=2, schedule="channel",
+                      prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      converge_tol=0.5)
+    assert cfg.gate_margin > 0  # the guard must not have disabled it
+    _, seed_errs, steps = pb.portfolio_run(imgs[0], cfg, 2)
+    assert seed_errs.shape == (2,)
+    assert np.isfinite(seed_errs).all()
+    assert 1 <= len(steps) <= 2
+
+
 @pytest.mark.slow
 def test_portfolio_segmented_matches_fused(rng):
     """Segmented portfolio dispatch (round 5: bounds single-device
