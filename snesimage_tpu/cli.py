@@ -182,14 +182,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--opt-profile", choices=sorted(OPT_PROFILES),
+        # Built from the OPT_PROFILES descriptions so the help text can
+        # never drift from the selectable set.
         help="Optimizer profile: the measured schedule/prescreen/stop "
-        "recipes from BENCHMARKS.md — 'reference' (the reference's "
-        "4-random/1-channel cycle, full scoring), 'fast' (channel "
-        "descent + two-level prescreen + rank1 gate, tol 0.5: the "
-        "headline ~1 s configuration), 'quality' (channel descent + "
-        "prescreen + 16 joint-RGB explore candidates per visit, tol "
-        "0.1: reaches/beats the reference schedule's plateau band in a "
-        "fraction of its time). Explicit flags override profile fields",
+        "recipes from BENCHMARKS.md — "
+        + "; ".join(
+            f"'{name}': {desc}"
+            for name, (desc, _) in sorted(OPT_PROFILES.items())
+        )
+        + ". Explicit flags override profile fields",
     )
     p.add_argument(
         "--steps", type=int, default=None,
@@ -389,9 +390,51 @@ def main(argv: list[str] | None = None) -> int:
         optimized = False
         config_fast = None  # phase-1 config when --opt-profile hybrid
         if args.resume:
+            import dataclasses
+
             state, config, meta = load_checkpoint(args.resume)
             log.info("Resumed from %s at step %d", args.resume, meta["step"])
             errors = list(meta["errors"])
+            # Stopping criteria are RNG-safe to override on resume (the
+            # stream is keyed by seed + start_step only); every OTHER
+            # optimizer/geometry flag is defined by the checkpointed
+            # config — warn instead of silently discarding them.
+            overrides = {}
+            if args.steps is not None:
+                overrides["max_steps"] = args.steps
+            if args.tol is not None:
+                overrides["converge_tol"] = args.tol
+            if overrides:
+                config = dataclasses.replace(config, **overrides)
+            discarded = [
+                flag
+                for flag, v in (
+                    ("--opt-profile", args.opt_profile),
+                    ("--schedule", args.schedule),
+                    ("--channel-explore", args.channel_explore),
+                    ("--prescreen", args.prescreen),
+                    ("--prescreen-full", args.prescreen_full),
+                    ("--prescreen-pre", args.prescreen_pre),
+                    ("--dither-proxy", args.dither_proxy),
+                    ("--gate-margin", args.gate_margin),
+                    ("--gate-coarse", args.gate_coarse),
+                    ("--accept-margin", args.accept_margin),
+                    ("-c", args.subpalette_count),
+                    ("-s", args.subpalette_size),
+                    ("-d", args.dither),
+                    ("--perceptual-palettes", args.perceptual_palettes),
+                    ("--nes", args.nes),
+                    ("--preset", args.preset),
+                )
+                if v not in (None, False)
+            ]
+            if discarded:
+                log.warning(
+                    "--resume continues the CHECKPOINTED config; "
+                    "ignoring %s (only --steps/--tol may override on "
+                    "resume — they are RNG-safe stopping criteria)",
+                    ", ".join(discarded),
+                )
         else:
             geometry = merge_geometry(args)
             # Optimizer fields: explicit flags (non-None sentinels)
@@ -451,6 +494,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.portfolio > 1 and not args.skip_optimize:
                 from snesimage_tpu.parallel.batch import portfolio_run
 
+                ignored = [
+                    flag
+                    for flag, v in (
+                        ("--dump-every", args.dump_every),
+                        ("--reassign-every", args.reassign_every),
+                        ("--reassign-tiles", args.reassign_tiles),
+                    )
+                    if v
+                ]
+                if ignored:
+                    log.warning(
+                        "%s ignored with --portfolio K>1 (the portfolio "
+                        "runs as fused on-device dispatches with no "
+                        "per-step host hook; use a single-trajectory "
+                        "run for interactive features)",
+                        ", ".join(ignored),
+                    )
                 state, seed_errs, errors = portfolio_run(
                     img, config, args.portfolio
                 )
@@ -523,35 +583,52 @@ def main(argv: list[str] | None = None) -> int:
                         visit.palette, visit.index, visit.method, err,
                     )
 
-            on_step = None
-            if args.dump_every > 0:
+            # Dump/reassign closures take the ACTIVE phase's config (the
+            # hybrid host path runs phase 1 under config_fast — a mid-
+            # phase-1 checkpoint must embed the config that produced the
+            # state, or resuming it would continue under the wrong
+            # recipe/RNG pairing) and account steps/errors GLOBALLY:
+            # `errors` holds all history before the running optimize
+            # call (pre-resume + earlier phases), so a mid-run
+            # checkpoint's step count keeps the resumed RNG stream
+            # advancing instead of replaying already-evaluated steps.
+            def make_on_step(cfg):
+                if args.dump_every <= 0:
+                    return None
+
                 def on_step(step, st, errs):
                     if (step + 1) % args.dump_every:
                         return
-                    write_json(args.target_filename, st, config)
+                    write_json(args.target_filename, st, cfg)
                     log.info(
                         "Mid-run output written to %s at step %d",
                         args.target_filename, step,
                     )
                     if args.checkpoint:
                         save_checkpoint(
-                            args.checkpoint, st, config,
-                            errors=errs, step=len(errs),
+                            args.checkpoint, st, cfg,
+                            errors=errors + errs,
+                            step=len(errors) + len(errs),
                         )
                     if args.preview:
                         from snesimage_tpu.preview import save_preview
 
-                        save_preview(args.preview, st, config)
+                        save_preview(args.preview, st, cfg)
 
-            on_step_state = None
-            if args.reassign_tiles and args.dump_every > 0:
-                # Live reassignment (reference GUI: a tile click works at
-                # any moment of the optimization phase, src/lib.rs:
-                # 1005-1024): re-read the file every --dump-every steps
-                # and apply it again whenever it changed on disk. A file
-                # edited mid-run must never crash a long run: parse
-                # errors are logged and skipped.
-                mtime_cell = [reassign_mtime]
+                return on_step
+
+            # Live reassignment (reference GUI: a tile click works at
+            # any moment of the optimization phase, src/lib.rs:
+            # 1005-1024): re-read the file every --dump-every steps
+            # and apply it again whenever it changed on disk. A file
+            # edited mid-run must never crash a long run: parse
+            # errors are logged and skipped. The mtime cell is shared
+            # across hybrid phases (one file, one watcher).
+            mtime_cell = [reassign_mtime]
+
+            def make_on_step_state(cfg):
+                if not (args.reassign_tiles and args.dump_every > 0):
+                    return None
 
                 def on_step_state(step, st, errs):
                     if (step + 1) % args.dump_every:
@@ -569,7 +646,7 @@ def main(argv: list[str] | None = None) -> int:
                                 f.read()
                             )
                         st = pipeline.apply_tile_reassignments(
-                            st, config, assignments
+                            st, cfg, assignments
                         )
                     except (OSError, ValueError) as err:
                         log.error(
@@ -584,6 +661,8 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     return st
 
+                return on_step_state
+
             refp = make_reference_pyramid(state)
             with trace(args.profile_dir):
                 if config_fast is not None:
@@ -594,14 +673,16 @@ def main(argv: list[str] | None = None) -> int:
                         state, config_fast, refp=refp,
                         start_step=len(errors),
                         reassign_every=args.reassign_every,
-                        on_slot=on_slot, on_step=on_step,
-                        on_step_state=on_step_state,
+                        on_slot=on_slot,
+                        on_step=make_on_step(config_fast),
+                        on_step_state=make_on_step_state(config_fast),
                     )
                     errors.extend(errs1)
                 state, step_errors = pipeline.optimize(
                     state, config, refp=refp, start_step=len(errors),
                     reassign_every=args.reassign_every, on_slot=on_slot,
-                    on_step=on_step, on_step_state=on_step_state,
+                    on_step=make_on_step(config),
+                    on_step_state=make_on_step_state(config),
                 )
             errors.extend(step_errors)
 

@@ -158,6 +158,16 @@ def reassign_tile(
     recluster: bool = True,
 ) -> QuantState:
     """Cycle one tile's subpalette id (GUI click, src/lib.rs:1005-1024)."""
+    if not (
+        0 <= tile_x < config.width_tiles and 0 <= tile_y < config.height_tiles
+    ):
+        # JAX silently drops out-of-bounds scatters (and clamps the
+        # read), which would make a bad coordinate a no-op; validate
+        # like apply_tile_reassignments does.
+        raise ValueError(
+            f"tile ({tile_x}, {tile_y}) out of range for a "
+            f"{config.width_tiles}x{config.height_tiles} tile grid"
+        )
     tp = state.tile_palettes.at[tile_y, tile_x].set(
         (state.tile_palettes[tile_y, tile_x] + 1) % config.subpalette_count
     )
@@ -667,7 +677,18 @@ def optimize(
             replacement = on_step_state(step, state, step_errors)
             if replacement is not None:
                 state = replacement
-        full_errors.append(float(error_of(state, config, refp)))
+                # The state changed OUTSIDE the descent (a mid-run tile
+                # reassignment typically worsens the metric before it
+                # pays off): restart the plateau window and the gating
+                # confirmation state so the edit gets re-optimized
+                # instead of tripping an immediate converge_tol stop.
+                full_errors.clear()
+                need_exact = False
+        if config.converge_tol > 0:
+            # full_errors feeds only the plateau test below; with tol=0
+            # the exact per-step frame error would be a pure waste (one
+            # full SSIMULACRA2 + a host sync per step on this path).
+            full_errors.append(float(error_of(state, config, refp)))
         starved = (
             config.converge_tol > 0
             and len(full_errors) > cycle
@@ -697,6 +718,9 @@ def optimize(
 
             state = full_remap(auto_reassign_tiles(state, config), config)
             log.info("step %d: tiles reassigned", step)
+            # Same rationale as the on_step_state replacement above.
+            full_errors.clear()
+            need_exact = False
 
     return state, step_errors
 

@@ -79,6 +79,137 @@ def test_cli_end_to_end(tmp_path, rng):
     assert ck.exists() and pv.exists()
 
 
+@pytest.mark.slow
+def test_resume_stop_flags_override_and_warn(tmp_path, rng, capsys):
+    """--resume honors --steps/--tol (RNG-safe stopping criteria) and
+    WARNS about any other explicit flag instead of silently discarding
+    it (round 5; previously `--resume ck --steps 50` silently ran the
+    checkpointed budget): the resumed run performs exactly the asked-for
+    extra steps, the checkpointed schedule survives an ignored
+    --schedule flag, and the warning names the flag. The final
+    checkpoint's step count covers the FULL history (pre-resume +
+    resumed), so resuming it again keeps advancing the RNG stream."""
+    from PIL import Image
+
+    from snesimage_tpu.io.checkpoint import load_checkpoint
+
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    src = tmp_path / "src.png"
+    Image.fromarray(img, "RGBA").save(src)
+    out = tmp_path / "out.json"
+    c1 = tmp_path / "c1.npz"
+    c2 = tmp_path / "c2.npz"
+
+    rc = main([str(src), str(out), "-c", "2", "-s", "3", "--steps", "1",
+               "--schedule", "channel", "--checkpoint", str(c1)])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main([str(src), str(out), "--resume", str(c1), "--steps", "2",
+               "--schedule", "reference", "--checkpoint", str(c2)])
+    assert rc == 0
+    logs = capsys.readouterr().out
+    assert "--schedule" in logs and "CHECKPOINTED" in logs
+
+    _, cfg, meta = load_checkpoint(str(c2))
+    assert meta["step"] == 3  # 1 prior + exactly the 2 asked-for steps
+    assert len(meta["errors"]) == 3  # full history, prefix preserved
+    assert cfg.schedule == "channel"  # checkpointed config won
+    assert cfg.max_steps == 2  # the RNG-safe override was applied
+
+
+@pytest.mark.slow
+def test_midrun_checkpoint_counts_resumed_history(tmp_path, rng):
+    """A --dump-every checkpoint written DURING a resumed run embeds the
+    FULL error history (pre-resume prefix + the resumed steps so far),
+    not just the local list (round 5 fix: the local count reset step to
+    len(local errs), so re-resuming replayed already-evaluated RNG
+    steps). A watcher thread snapshots the checkpoint as each dump
+    lands; every valid snapshot must prefix-match run 1's history."""
+    import shutil
+    import threading
+    import time as _time
+
+    from PIL import Image
+
+    from snesimage_tpu.io.checkpoint import load_checkpoint
+
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    src = tmp_path / "src.png"
+    Image.fromarray(img, "RGBA").save(src)
+    out = tmp_path / "out.json"
+    c1 = tmp_path / "c1.npz"
+    c2 = tmp_path / "c2.npz"
+
+    rc = main([str(src), str(out), "-c", "2", "-s", "3", "--steps", "2",
+               "--schedule", "channel", "--checkpoint", str(c1)])
+    assert rc == 0
+    _, _, meta1 = load_checkpoint(str(c1))
+    prior = [float(e) for e in meta1["errors"]]
+    assert len(prior) == 2
+
+    snapshots = []
+    done = threading.Event()
+
+    def watch():
+        seen = -1.0
+        while not done.is_set():
+            try:
+                m = c2.stat().st_mtime
+            except OSError:
+                _time.sleep(0.02)
+                continue
+            if m != seen:
+                seen = m
+                dst = tmp_path / f"snap_{len(snapshots)}.npz"
+                try:
+                    shutil.copyfile(c2, dst)
+                    load_checkpoint(str(dst))  # validate (may be partial)
+                except Exception:
+                    seen = -1.0  # retry this mtime
+                    continue
+                snapshots.append(dst)
+            _time.sleep(0.02)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    rc = main([str(src), str(out), "--resume", str(c1), "--steps", "3",
+               "--dump-every", "1", "--checkpoint", str(c2)])
+    done.set()
+    t.join(timeout=10)
+    assert rc == 0
+    assert snapshots, "watcher never captured a checkpoint"
+    for snap in snapshots:
+        _, _, meta = load_checkpoint(str(snap))
+        errs = [float(e) for e in meta["errors"]]
+        # global accounting: prefix-preserving, step == total history
+        assert int(meta["step"]) == len(errs)
+        assert len(errs) > len(prior)
+        assert errs[: len(prior)] == pytest.approx(prior)
+
+
+@pytest.mark.slow
+def test_portfolio_warns_ignored_interactive_flags(tmp_path, rng, capsys):
+    """--portfolio K>1 runs fused on-device with no per-step host hook;
+    interactive flags are warned about instead of silently dropped
+    (round 5; especially surprising under --opt-profile robust, which
+    sets K=2 implicitly)."""
+    from PIL import Image
+
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    src = tmp_path / "src.png"
+    Image.fromarray(img, "RGBA").save(src)
+    rc = main([str(src), str(tmp_path / "o.json"), "-c", "2", "-s", "3",
+               "--steps", "1", "--schedule", "channel", "--portfolio", "2",
+               "--dump-every", "1"])
+    assert rc == 0
+    logs = capsys.readouterr().out
+    assert "--dump-every" in logs and "ignored with --portfolio" in logs
+
+
 def test_cli_wrong_size_fails(tmp_path, rng):
     from PIL import Image
 

@@ -161,6 +161,42 @@ def test_optimize_on_step_state_midrun(small_image):
     assert int(np.asarray(st2.tile_palettes)[0, 0]) == target
 
 
+def test_midrun_replacement_resets_plateau_stop(small_image):
+    """A mid-run state replacement restarts the converge_tol window
+    (round 5 fix: a reassignment that worsens the metric used to trip an
+    immediate plateau stop at the very step it was applied, so the edit
+    never got re-optimized): with a huge tol the bare run stops after
+    cycle+1 = 2 steps, while an on_step_state replacement at step 1
+    clears the window and buys one more full cycle — 3 steps total."""
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=6, schedule="channel",
+                      converge_tol=1e9)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+
+    _, base_errors = pipeline.optimize(st, cfg)
+    assert len(base_errors) == 2, base_errors
+
+    def replace_at_1(step, state, errs):
+        return state if step == 1 else None  # identity = external edit
+
+    _, errors = pipeline.optimize(st, cfg, on_step_state=replace_at_1)
+    assert len(errors) == 3, errors
+
+
+def test_reassign_tile_bounds_validated(small_image):
+    """reassign_tile rejects out-of-range coordinates (JAX would silently
+    drop the out-of-bounds scatter, turning a bad click into a no-op)."""
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64)
+    st = new_state(small_image, cfg)
+    with pytest.raises(ValueError, match="out of range"):
+        pipeline.reassign_tile(st, cfg, tile_x=cfg.width_tiles, tile_y=0)
+    with pytest.raises(ValueError, match="out of range"):
+        pipeline.reassign_tile(st, cfg, tile_x=0, tile_y=-1)
+
+
 def test_optimize_on_step_callback(small_image):
     """on_step fires after every sweep with the step index, the current
     state, and the errors so far (the CLI's --dump-every surface), and
