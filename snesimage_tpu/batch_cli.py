@@ -81,8 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument(
         "--opt-profile", choices=sorted(OPT_PROFILES),
-        help="Optimizer profile (reference/fast/quality; see the "
-        "single-image CLI). Note the rank1 gate in 'fast' is inert in "
+        help="Optimizer profile (see the single-image CLI for the "
+        "measured recipes: "
+        + ", ".join(sorted(OPT_PROFILES))
+        + "; hybrid and robust are single-image dispatch shapes and are "
+        "rejected here). Note the rank1 gate in 'fast' is inert in "
         "batch mode (batched sweeps always score exactly)",
     )
     p.add_argument("--preset", choices=sorted(PRESETS))
@@ -136,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     try:
-        from snesimage_tpu.cli import OPT_PROFILES, merge_geometry
+        from snesimage_tpu.cli import merge_geometry, merge_opt_fields
 
         if args.opt_profile == "hybrid":
             raise ValueError(
@@ -152,25 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 "portfolios per image with the single-image CLI"
             )
         geometry = merge_geometry(args)
-        opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
-        opt.update(
-            {
-                k: v
-                for k, v in dict(
-                    max_steps=args.steps,
-                    converge_tol=args.tol,
-                    schedule=args.schedule,
-                    channel_explore=args.channel_explore,
-                    prescreen=args.prescreen,
-                    prescreen_full=args.prescreen_full,
-                    prescreen_pre=args.prescreen_pre,
-                    dither_proxy=args.dither_proxy,
-                    gate_margin=args.gate_margin,
-                    accept_margin=args.accept_margin,
-                ).items()
-                if v is not None
-            }
-        )
+        opt = merge_opt_fields(args)
         config = QuantConfig(
             **opt,
             **geometry,
@@ -189,9 +174,16 @@ def main(argv: list[str] | None = None) -> int:
         outdir = pathlib.Path(args.output_dir)
         outdir.mkdir(parents=True, exist_ok=True)
 
+        if args.limit is not None and args.limit < 1:
+            raise ValueError(f"--limit must be >= 1, got {args.limit}")
+        if args.num_hosts == 1 and args.host_id != 0:
+            raise ValueError(
+                "--host-id requires --num-hosts > 1 (a lone --host-id "
+                "would silently process the WHOLE directory)"
+            )
         exts = {".png", ".bmp", ".gif", ".jpg", ".jpeg", ".webp"}
         paths = sorted(p for p in indir.iterdir() if p.suffix.lower() in exts)
-        if args.limit:
+        if args.limit is not None:
             paths = paths[: args.limit]
         if args.num_hosts > 1:
             paths = shard_paths(paths, args.num_hosts, args.host_id)
@@ -199,13 +191,31 @@ def main(argv: list[str] | None = None) -> int:
                 "host %d/%d: processing %d-image shard",
                 args.host_id, args.num_hosts, len(paths),
             )
+            if not paths:
+                # A legitimately empty shard (more hosts than images)
+                # is a clean no-op, not a crashed host.
+                log.info("host %d: empty shard, nothing to do", args.host_id)
+                return 0
         if not paths:
             raise ValueError(f"No images found in {indir}")
+        # Outputs are written as <stem>.json: inputs differing only by
+        # extension would silently overwrite each other's results.
+        stems = [p.stem for p in paths]
+        dupes = sorted({s for s in stems if stems.count(s) > 1})
+        if dupes:
+            raise ValueError(
+                "output filename collision: multiple inputs share "
+                f"stem(s) {dupes} (outputs are <stem>.json) — rename "
+                "the inputs"
+            )
 
         images = []
         for p in paths:
             img = load_rgba(str(p))
-            check_size(img, config.width, config.height)
+            try:
+                check_size(img, config.width, config.height)
+            except ValueError as err:
+                raise ValueError(f"{p}: {err}") from None
             images.append(img)
         images = np.stack(images)
         log.info("Optimizing %d images as one batch", len(paths))

@@ -358,6 +358,37 @@ def merge_geometry(args) -> dict:
     return explicit
 
 
+def merge_opt_fields(args) -> dict:
+    """Optimizer fields for QuantConfig: explicit flags (non-None
+    sentinels) override --opt-profile fields; anything else falls to
+    QuantConfig defaults (which equal the reference-parity 'reference'
+    profile). Shared by the single-image and batch CLIs so the override
+    set cannot drift between them — a knob accepted by a parser but
+    missing from this dict would be silently ignored (gate_coarse had
+    already drifted out of the batch CLI's copy)."""
+    opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
+    opt.update(
+        {
+            k: v
+            for k, v in dict(
+                max_steps=args.steps,
+                converge_tol=args.tol,
+                schedule=args.schedule,
+                channel_explore=args.channel_explore,
+                prescreen=args.prescreen,
+                prescreen_full=args.prescreen_full,
+                prescreen_pre=args.prescreen_pre,
+                dither_proxy=args.dither_proxy,
+                gate_margin=args.gate_margin,
+                gate_coarse=getattr(args, "gate_coarse", None),
+                accept_margin=args.accept_margin,
+            ).items()
+            if v is not None
+        }
+    )
+    return opt
+
+
 def resolve_portfolio_k(args) -> int:
     """The 'robust' profile is 'balanced' + a K=2 seed portfolio; an
     explicit --portfolio always wins (None = not passed). K is a CLI
@@ -437,30 +468,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:
             geometry = merge_geometry(args)
-            # Optimizer fields: explicit flags (non-None sentinels)
-            # override --opt-profile fields; anything else falls to
-            # QuantConfig defaults (which equal the reference-parity
-            # 'reference' profile).
-            opt = dict(OPT_PROFILES[args.opt_profile][1]) if args.opt_profile else {}
-            opt.update(
-                {
-                    k: v
-                    for k, v in dict(
-                        max_steps=args.steps,
-                        converge_tol=args.tol,
-                        schedule=args.schedule,
-                        channel_explore=args.channel_explore,
-                        prescreen=args.prescreen,
-                        prescreen_full=args.prescreen_full,
-                        prescreen_pre=args.prescreen_pre,
-                        dither_proxy=args.dither_proxy,
-                        gate_margin=args.gate_margin,
-                        gate_coarse=args.gate_coarse,
-                        accept_margin=args.accept_margin,
-                    ).items()
-                    if v is not None
-                }
-            )
+            opt = merge_opt_fields(args)
             config = QuantConfig(
                 **geometry,
                 **opt,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 
 import numpy as np
 
@@ -28,17 +29,31 @@ def save_checkpoint(
     errors: list[float] | None = None,
     step: int = 0,
 ) -> None:
-    np.savez(
-        path,
-        format_version=_FORMAT_VERSION,
-        config=json.dumps(dataclasses.asdict(config)),
-        original=np.asarray(state.original),
-        tile_palettes=np.asarray(state.tile_palettes),
-        palette=np.asarray(state.palette),
-        palette_map=np.asarray(state.palette_map),
-        errors=np.asarray(errors if errors is not None else [], dtype=np.float64),
-        step=step,
-    )
+    """Write the checkpoint ATOMICALLY to EXACTLY `path`.
+
+    Writing through a file object (not a path) stops np.savez from
+    silently appending '.npz' — with a bare path, `--checkpoint run.ckpt`
+    landed at run.ckpt.npz and the matching `--resume run.ckpt` failed.
+    The tmp + os.replace dance means a run killed mid-write (the exact
+    interruption checkpoints exist to survive — --dump-every rewrites
+    the same file every N steps) can never destroy the previous good
+    checkpoint with a truncated zip."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            format_version=_FORMAT_VERSION,
+            config=json.dumps(dataclasses.asdict(config)),
+            original=np.asarray(state.original),
+            tile_palettes=np.asarray(state.tile_palettes),
+            palette=np.asarray(state.palette),
+            palette_map=np.asarray(state.palette_map),
+            errors=np.asarray(
+                errors if errors is not None else [], dtype=np.float64
+            ),
+            step=step,
+        )
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> tuple[QuantState, QuantConfig, dict]:

@@ -385,8 +385,12 @@ def batched_run(
         states = shard_states(states, mesh)
     states = binit(states, config)
     states = bcluster(states, config)
+    # Forward the mesh: batched_optimize sizes dispatch segments by the
+    # PER-DEVICE batch slice (passing mesh=None here made an 8-device
+    # 256-image run dispatch 8x-too-short segments, one ~200 ms sync
+    # each). Re-applying the same sharding there is a no-op.
     return batched_optimize(
-        states, config, mesh=None, max_steps=max_steps, n_real=n_real
+        states, config, mesh=mesh, max_steps=max_steps, n_real=n_real
     )
 
 

@@ -220,6 +220,65 @@ def test_cli_wrong_size_fails(tmp_path, rng):
     assert rc == 1
 
 
+def test_checkpoint_exact_path_and_atomic(tmp_path, rng):
+    """save_checkpoint writes to EXACTLY the requested path (round 5 fix:
+    np.savez silently appended '.npz', so `--checkpoint run.ckpt` landed
+    at run.ckpt.npz and `--resume run.ckpt` failed) and atomically (no
+    .tmp remnant; a kill mid-write can't destroy the previous good
+    file)."""
+    from snesimage_tpu.config import QuantConfig
+    from snesimage_tpu.core.state import new_state
+    from snesimage_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    img = rng.integers(0, 256, (64, 64, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64)
+    st = new_state(img, cfg)
+    path = tmp_path / "run.ckpt"  # no .npz extension on purpose
+    save_checkpoint(str(path), st, cfg, errors=[1.0, 2.0], step=2)
+    assert path.exists()
+    assert not (tmp_path / "run.ckpt.npz").exists()
+    assert not (tmp_path / "run.ckpt.tmp").exists()
+    _, cfg2, meta = load_checkpoint(str(path))
+    assert meta["step"] == 2 and cfg2 == cfg
+
+
+def test_batch_cli_input_validation(tmp_path, rng):
+    """Batch CLI fail-fast guards (round 5): colliding output stems,
+    --host-id without --num-hosts, bad --limit — all exit 1 with a clear
+    message; an empty multi-host shard is a clean exit 0, not an error."""
+    from PIL import Image
+
+    from snesimage_tpu.batch_cli import main as batch_main
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    img = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+    img[..., 3] = 255
+    Image.fromarray(img, "RGBA").save(indir / "a.png")
+
+    # stem collision: a.png + a.jpg would both write a.json
+    Image.fromarray(img[..., :3], "RGB").save(indir / "a.jpg")
+    rc = batch_main([str(indir), str(outdir), "--steps", "0"])
+    assert rc == 1
+    (indir / "a.jpg").unlink()
+
+    rc = batch_main([str(indir), str(outdir), "--host-id", "1"])
+    assert rc == 1
+    rc = batch_main([str(indir), str(outdir), "--limit", "0"])
+    assert rc == 1
+    rc = batch_main([str(indir), str(outdir), "--limit", "-1"])
+    assert rc == 1
+
+    # 1 image over 4 hosts: hosts 1-3 get empty shards — clean no-op
+    rc = batch_main([str(indir), str(outdir), "--num-hosts", "4",
+                     "--host-id", "3"])
+    assert rc == 0
+    assert not outdir.exists() or not list(outdir.glob("*.json"))
+
+
 @pytest.mark.slow
 def test_batch_cli_end_to_end(tmp_path, rng):
     from PIL import Image

@@ -197,6 +197,27 @@ def test_portfolio_converge_tol_across_segments(rng):
     np.testing.assert_array_equal(errs1, errs2)
 
 
+def test_batched_run_forwards_mesh(rng, monkeypatch):
+    """batched_run forwards its mesh to batched_optimize (round 5 fix:
+    it passed mesh=None after sharding, so segment sizing ignored the
+    device count and dispatched n_devices-times-too-short segments —
+    one ~200 ms tunnel sync each)."""
+    captured = {}
+    orig = pb.batched_optimize
+
+    def spy(states, config, *, mesh=None, **kw):
+        captured["mesh"] = mesh
+        return orig(states, config, mesh=mesh, **kw)
+
+    monkeypatch.setattr(pb, "batched_optimize", spy)
+    mesh = pb.make_mesh()
+    imgs = _images(rng, b=mesh.devices.size)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=1, schedule="channel")
+    pb.batched_run(imgs, cfg, mesh=mesh)
+    assert captured["mesh"] is mesh
+
+
 def test_portfolio_gated_config_runs(rng):
     """A gated config (--opt-profile fast: gate_margin + tol >= 0.25,
     explore off on the channel schedule) must run as a portfolio: the
