@@ -157,13 +157,15 @@ def _gating_active(config: QuantConfig) -> bool:
     """Whether rank1 visit gating (QuantConfig.gate_margin) applies: only
     the undithered two-level-prescreened strict-less-than paths gate (the
     gate prediction needs the separate scale-1 stage that only exists
-    with prescreen_full > 0; the NES sweep never prescreens; the dithered
-    path keeps its own machinery), and the prescreen decomposition needs
+    with 0 < prescreen_full < prescreen — at prescreen_full >= prescreen
+    there is no separate scale-0 stage to skip and the gated path
+    asserts m < k; the NES sweep never prescreens; the dithered path
+    keeps its own machinery), and the prescreen decomposition needs
     4-aligned geometry."""
     return (
         config.gate_margin > 0
         and config.prescreen > 0
-        and config.prescreen_full > 0
+        and 0 < config.prescreen_full < config.prescreen
         and not config.dither
         and not config.nes
         and config.height % 4 == 0
@@ -365,6 +367,21 @@ def _undithered_machinery(
             # irrelevant for ranking and cancelled by the in-batch baseline)
             ds4_l = lnc_cmaj.reshape(3, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
             dcand = None
+            if not perceptual:
+                # Masked integer win-threshold (the tie rule folds into
+                # the threshold: wins = d < bva) and the channel-major
+                # integer target — shared by the fused and fallback
+                # coarse stages below.
+                bva = jnp.where(
+                    cand_mask2,
+                    jnp.where(
+                        best_val == jnp.iinfo(jnp.int32).max,
+                        best_val,
+                        best_val + adj,
+                    ),
+                    jnp.iinfo(jnp.int32).min,
+                )
+                tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
             # Three-level coarse (config.prescreen_pre): pre-rank ALL
             # candidates by their EXACT scale-3..5 score from 1/8-res
             # frames (the quarter-res coarse frame pooled 2x2 once more,
@@ -374,8 +391,14 @@ def _undithered_machinery(
             # prescreen; selection-perfection validated in
             # tests/test_refine.py.
             mq = config.prescreen_pre
+            # coarse_only (the dither-proxy ranking) never runs the
+            # scale-2 stage, so three-level mode would only weaken the
+            # proxy (scales 3..5 instead of 2..5) while paying the
+            # kernel's quarter-res frame emission for frames_q nobody
+            # reads — force the standard two-level coarse there.
             three_level = bool(
                 mq
+                and not coarse_only
                 and b > mq + base_rows
                 and mq >= k + base_rows
                 and h % 8 == 0
@@ -423,16 +446,6 @@ def _undithered_machinery(
                     else:
                         sums, dcand = out
                 else:
-                    bva = jnp.where(
-                        cand_mask2,
-                        jnp.where(
-                            best_val == jnp.iinfo(jnp.int32).max,
-                            best_val,
-                            best_val + adj,
-                        ),
-                        jnp.iinfo(jnp.int32).min,
-                    )
-                    tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
                     out = coarse_feature_sums_redmean(
                         tg_cmaj, cand8.astype(jnp.int32), cand_lin, bva,
                         ml_cmaj, ds4_l, flat_refs, **kkw,
@@ -456,20 +469,8 @@ def _undithered_machinery(
                         )(cand8, cand_lab).astype(best_val.dtype),
                     )
                 else:
-                    # Integer path: the tie rule folds into the threshold
-                    # (wins = d < best_val + adj), the distance plane is
-                    # computed inside the kernel — no (B, H, W)
-                    # materialization.
-                    bva = jnp.where(
-                        cand_mask2,
-                        jnp.where(
-                            best_val == jnp.iinfo(jnp.int32).max,
-                            best_val,
-                            best_val + adj,
-                        ),
-                        jnp.iinfo(jnp.int32).min,
-                    )
-                    tg_cmaj = jnp.moveaxis(target_u8, -1, 0).astype(jnp.int32)
+                    # Integer path: the distance plane is computed
+                    # inside the kernel — no (B, H, W) materialization.
                     pooled = pooled_wins_redmean(
                         tg_cmaj, cand8.astype(jnp.int32), bva, ml_cmaj
                     )
@@ -821,9 +822,7 @@ def _candidate_errors_dithered(
 
     frames = jax.vmap(one_frame)(maps, cand_lin)
     frames_cmaj = jnp.moveaxis(frames, -1, 1)  # (B, 3, H, W)
-    b = frames.shape[0]
     k = config.prescreen
-    base_rows = 0 if carried_base else 1
     if k and b > k + base_rows and allow_prescreen:
         # Same two-stage scoring as the undithered path (validated
         # zero-regret on dithered candidate batches too); the coarse rank
@@ -1168,10 +1167,10 @@ def _init_cache(state: QuantState, config: QuantConfig):
     return (compute_d_all(state, config), target_lab)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "gate"))
 def sweep_random(
     state: QuantState, config: QuantConfig, refp, key, base_err=None,
-    use_gate=None,
+    use_gate=None, gate=True,
 ) -> SlotResult:
     """One full random step: every (palette, index) slot once
     (src/lib.rs:888-932, steps with step % 5 < 4).
@@ -1183,13 +1182,17 @@ def sweep_random(
     (QuantConfig.gate_margin) the current state's scale-0 weighted sum
     rides the carry too (see _pick / gate_base_fused); ``use_gate=False``
     (a dynamic scalar) forces every visit exact — the fused loop's
-    confirmation sweeps before any convergence stop."""
+    confirmation sweeps before any convergence stop. ``gate=False``
+    (STATIC) skips building the gate machinery entirely: the batched
+    paths vmap this sweep, and gate_base_fused's custom_vmap consts do
+    not trace under a batched refp, so a dynamic use_gate=False is not
+    enough there (round 5)."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
     gate0 = (
         gate_base_fused(state, config, refp)
-        if _gating_active(config)
+        if gate and _gating_active(config)
         else None
     )
     enable = jnp.bool_(True) if use_gate is None else jnp.asarray(use_gate)
@@ -1210,10 +1213,10 @@ def sweep_random(
     return SlotResult(state, err, jnp.bool_(True))
 
 
-@partial(jax.jit, static_argnames=("config", "window"))
+@partial(jax.jit, static_argnames=("config", "window", "gate"))
 def sweep_channel(
     state: QuantState, config: QuantConfig, refp, base_err=None, key=None,
-    window=False, use_gate=None,
+    window=False, use_gate=None, gate=True,
 ) -> SlotResult:
     """One full channel step: every slot visited for channels 0,1,2 in
     sequence (src/lib.rs:917-923). Carried baseline: see sweep_random.
@@ -1223,14 +1226,15 @@ def sweep_channel(
     same discipline as sweep_random). ``window=True`` makes every visit
     windowed (see _slot_channel); ``use_gate=False`` (a dynamic scalar)
     forces every visit exact — the fused loop's confirmation sweeps
-    before any convergence stop."""
+    before any convergence stop; ``gate=False`` (STATIC) skips building
+    the gate machinery entirely — see sweep_random."""
     s = config.subpalette_size
     if base_err is None:
         base_err = frame_error_fused(state, config, refp)
     explore = key is not None and config.channel_explore > 0
     gate0 = (
         gate_base_fused(state, config, refp)
-        if _gating_active(config)
+        if gate and _gating_active(config)
         else None
     )
     enable = jnp.bool_(True) if use_gate is None else jnp.asarray(use_gate)

@@ -125,7 +125,7 @@ def _plateau_stop(errs, local, mean, cycle, tol, config: QuantConfig):
     the aggregate error improved by less than `tol` over one full
     schedule cycle (inf sentinel before a full cycle exists; never fires
     on a windowed sweep). Sound ONLY because every batched/portfolio
-    sweep scores exactly (use_gate=False everywhere — see the note
+    sweep scores exactly (gate=False everywhere — see the note
     below): a gated sweep's sub-tol improvement can mean visits were
     skipped, not that the run converged, which is why the single-image
     loop needs its exact-confirmation pass and these loops don't."""
@@ -133,7 +133,7 @@ def _plateau_stop(errs, local, mean, cycle, tol, config: QuantConfig):
     return (prev - mean < tol) & ~pipeline._is_window_step(config, local)
 
 
-# The batched paths pass use_gate=False everywhere (the portfolio loop
+# The batched paths pass gate=False everywhere (the portfolio loop
 # too): under vmap the gate's lax.cond lowers to a select that computes
 # both branches, so there is no speed win — only the content-dependent
 # quality risk of skipped visits (and these loops have no
@@ -141,19 +141,19 @@ def _plateau_stop(errs, local, mean, cycle, tol, config: QuantConfig):
 # batch at all: a gated sweep under the seed/image vmap fails to trace
 # (custom_vmap consts assertion via gate_base_fused — observed as a
 # user-facing crash of gated-config portfolios before round 5 fixed
-# these call sites to use_gate=False). Batched sweeps therefore always
+# these call sites to gate=False). Batched sweeps therefore always
 # score exactly.
 @partial(jax.jit, static_argnames=("config",))
 def bsweep_random(states, config: QuantConfig, refp, keys):
     """One full random step for every image, fully on-device."""
-    return jax.vmap(lambda s, r, k: refine.sweep_random(s, config, r, k, use_gate=False))(
+    return jax.vmap(lambda s, r, k: refine.sweep_random(s, config, r, k, gate=False))(
         states, refp, keys
     )
 
 
 @partial(jax.jit, static_argnames=("config",))
 def bsweep_channel(states, config: QuantConfig, refp):
-    return jax.vmap(lambda s, r: refine.sweep_channel(s, config, r, use_gate=False))(states, refp)
+    return jax.vmap(lambda s, r: refine.sweep_channel(s, config, r, gate=False))(states, refp)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -198,7 +198,7 @@ def _boptimize_fused(
     With `config.converge_tol > 0`, stops early when the real-mean exact
     error improves by less than tol over one full schedule cycle
     (pipeline._stop_cycle; same rule as the single-image fused loop, on
-    the batch mean). Batched sweeps always score exactly (use_gate=False
+    the batch mean). Batched sweeps always score exactly (gate=False
     everywhere — see the note above bsweep_random), so no gated
     exact-confirmation pass is needed before stopping. The test never
     fires on a windowed sweep.
@@ -234,13 +234,13 @@ def _boptimize_fused(
                     res = jax.vmap(
                         lambda s, r, e, k: refine.sweep_channel(
                             s, config, r, e, key=k, window=window,
-                            use_gate=False,
+                            gate=False,
                         )
                     )(states, refp, cur, keys)
                 else:
                     res = jax.vmap(
                         lambda s, r, e: refine.sweep_channel(
-                            s, config, r, e, window=window, use_gate=False
+                            s, config, r, e, window=window, gate=False
                         )
                     )(states, refp, cur)
                 return res.state, res.error
@@ -261,7 +261,7 @@ def _boptimize_fused(
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
             res = jax.vmap(
-                lambda s, r, k, e: refine.sweep_random(s, config, r, k, e, use_gate=False)
+                lambda s, r, k, e: refine.sweep_random(s, config, r, k, e, gate=False)
             )(states, refp, keys, cur)
             return res.state, res.error, key
 
@@ -272,12 +272,12 @@ def _boptimize_fused(
                 keys = jax.random.split(sub, b)
                 res = jax.vmap(
                     lambda s, r, k, e: refine.sweep_channel(
-                        s, config, r, e, key=k, use_gate=False
+                        s, config, r, e, key=k, gate=False
                     )
                 )(states, refp, keys, cur)
             else:
                 res = jax.vmap(
-                    lambda s, r, e: refine.sweep_channel(s, config, r, e, use_gate=False)
+                    lambda s, r, e: refine.sweep_channel(s, config, r, e, gate=False)
                 )(states, refp, cur)
             return res.state, res.error, key
 
@@ -462,14 +462,14 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
                     res = jax.vmap(
                         lambda pal, pm, e, kk: refine.sweep_channel(
                             seed_state(pal, pm), config, refp, e, key=kk,
-                            window=window, use_gate=False,
+                            window=window, gate=False,
                         )
                     )(pals, pms, cur, keys)
                 else:
                     res = jax.vmap(
                         lambda pal, pm, e: refine.sweep_channel(
                             seed_state(pal, pm), config, refp, e,
-                            window=window, use_gate=False,
+                            window=window, gate=False,
                         )
                     )(pals, pms, cur)
                 return unpack(res)
@@ -492,7 +492,7 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
             res = jax.vmap(
                 lambda pal, pm, kk, e: refine.sweep_random(
                     seed_state(pal, pm), config, refp, kk, e,
-                    use_gate=False,
+                    gate=False,
                 )
             )(pals, pms, keys, cur)
             return unpack(res) + (key,)
@@ -505,14 +505,14 @@ def _portfolio_fused(state: QuantState, config: QuantConfig, refp, k: int,
                 res = jax.vmap(
                     lambda pal, pm, e, kk: refine.sweep_channel(
                         seed_state(pal, pm), config, refp, e, key=kk,
-                        use_gate=False,
+                        gate=False,
                     )
                 )(pals, pms, cur, keys)
             else:
                 res = jax.vmap(
                     lambda pal, pm, e: refine.sweep_channel(
                         seed_state(pal, pm), config, refp, e,
-                        use_gate=False,
+                        gate=False,
                     )
                 )(pals, pms, cur)
             return unpack(res) + (key,)

@@ -197,6 +197,24 @@ def test_portfolio_converge_tol_across_segments(rng):
     np.testing.assert_array_equal(errs1, errs2)
 
 
+def test_batched_run_gated_config(rng):
+    """The image-batched path must run gated configs (--opt-profile fast
+    on benchmarks/batch_cli): sweeps are called with the STATIC
+    gate=False so gate_base_fused is never traced under the image vmap
+    (round 5; a dynamic use_gate=False still traced it and crashed on
+    the custom_vmap consts assertion — unlike the portfolio loop, the
+    batched loop's refp is a vmapped argument, not a closure constant)."""
+    imgs = _images(rng, b=2)
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, max_steps=2, schedule="channel",
+                      prescreen=8, prescreen_full=2, gate_margin=0.01,
+                      converge_tol=0.5)
+    assert cfg.gate_margin > 0
+    states, errors = pb.batched_run(imgs, cfg)
+    assert 1 <= len(errors) <= 2
+    assert np.isfinite(errors).all()
+
+
 def test_batched_run_forwards_mesh(rng, monkeypatch):
     """batched_run forwards its mesh to batched_optimize (round 5 fix:
     it passed mesh=None after sharding, so segment sizing ignored the

@@ -576,6 +576,33 @@ def test_gate_margin_slot_visit(small_image):
         np.testing.assert_array_equal(np.asarray(gb2), np.asarray(gb))
 
 
+def test_gate_requires_separate_scale0_stage(small_image):
+    """prescreen_full >= prescreen leaves no separate scale-0 stage to
+    skip, so gating must deactivate instead of tripping the gated path's
+    m < k assertion (round 5; the perceptual auto-bump of prescreen_full
+    could create this combination from a valid user config)."""
+    from snesimage_tpu.core.refine import (
+        _gating_active,
+        frame_error_fused,
+        make_reference_pyramid,
+        sweep_channel,
+    )
+    from snesimage_tpu.core.state import new_state
+    from snesimage_tpu.core import pipeline
+
+    cfg = QuantConfig(subpalette_count=2, subpalette_size=3, width=64,
+                      height=64, schedule="channel", prescreen=4,
+                      prescreen_full=4, gate_margin=0.01)
+    assert not _gating_active(cfg)
+    st = new_state(small_image, cfg)
+    st = pipeline.initialize(st, cfg)
+    st = pipeline.cluster(st, cfg)
+    refp = make_reference_pyramid(st)
+    res = sweep_channel(st, cfg, refp)  # previously: AssertionError
+    assert np.isfinite(float(res.error))
+    assert float(res.error) <= float(frame_error_fused(st, cfg, refp)) + 1e-4
+
+
 @pytest.mark.slow
 def test_gate_margin_sweep_quality(small_image):
     """A gated full channel sweep must stay close to the ungated sweep's
