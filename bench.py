@@ -157,11 +157,13 @@ def main() -> None:
     # threshold 0.005 on a FIXED 8-step budget. This is the first
     # configuration whose ONE chip-measured run satisfies BOTH BASELINE
     # criteria — final error inside the reference schedule's seed band
-    # (113.4-115.8; here 115.01) AND >= 100x the 180 s anchor (1.74 s =
-    # 103x, tools/inband_exp.py). The previous headline (the 'fast'
-    # gated recipe: ~1.0 s = ~180x at error ~116.85, OUTSIDE the band)
-    # is still measured and reported in the 'fast_config' field so the
-    # speed frontier stays visible across rounds.
+    # (113.4-115.8; here 115.11) AND >= 100x the 180 s anchor (1.75 s =
+    # 103x, tools/inband_exp.py; re-measured on the corrected
+    # cross-backend-deterministic init, BENCHMARKS.md "init-precision
+    # fix"). The previous headline (the 'fast' gated recipe: ~1.46 s =
+    # ~123x at error ~117.7, OUTSIDE the band) is still measured and
+    # reported in the 'fast_config' field so the speed frontier stays
+    # visible across rounds.
     config = QuantConfig(
         subpalette_count=8, subpalette_size=15, max_steps=8,
         converge_tol=0.0, seed=0, schedule="channel", prescreen=8,

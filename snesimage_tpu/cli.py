@@ -79,8 +79,9 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
     ),
     # The 'quality' recipe on a FIXED 8-step budget (tol 0 disables the
     # plateau test: the budget IS the time contract). Chip-measured
-    # (round 5, tools/inband_exp.py, TPU v5 lite, bench image): 1.74 s
-    # best-of-3 = 103x the reference's 180 s anchor, final error 115.01
+    # (round 5, tools/inband_exp.py, TPU v5 lite, bench image; re-run on
+    # the corrected cross-backend init): 1.75 s best-of-3 = 103x the
+    # reference's 180 s anchor, final error 115.11
     # (seed 0) — inside the reference schedule's seed band 113.4-115.8.
     # The first configuration to satisfy BOTH BASELINE criteria in one
     # chip-measured run. Seed-sensitive like every explore schedule
@@ -119,7 +120,7 @@ OPT_PROFILES: dict[str, tuple[str, dict]] = {
     # bench image) and periodic tile reassignment measured as a
     # non-fix, so best-of-2 trajectories is the supported robustness
     # mechanism. Chip-measured (round 5, BENCHMARKS.md "Seed
-    # portfolio"): 3.47 s, kept 114.93 — in-band at ~2x balanced cost.
+    # portfolio"): 3.40 s, kept 115.56 — in-band at ~2x balanced cost.
     # The portfolio default (2) lives in main(), not here: K is a CLI
     # dispatch concern, not a QuantConfig field.
     "robust": (

@@ -185,7 +185,11 @@ def lab_to_srgb_u8(lab: jax.Array) -> jax.Array:
     xyz = xyz * _D65_WHITE
     lin = xyz @ _XYZ_TO_RGB.T
     srgb = jnp.clip(linear_to_srgb01(lin), 0.0, 1.0)
-    return jnp.round(srgb * 255.0).astype(jnp.int32)
+    # round_half_away_nonneg, not jnp.round: Rust's (c * 255.0).round()
+    # rounds half AWAY from zero (126.5 -> 127) while jnp.round is
+    # half-to-even (126.5 -> 126) — an x.5 flip here changes the 5-bit
+    # palette after the caller's //8.
+    return round_half_away_nonneg(srgb * 255.0).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from snesimage_tpu.constants import DITHER_DAMPING, DITHER_WEIGHTS
-from snesimage_tpu.ops.color import expand_5bit_to_8bit
+from snesimage_tpu.ops.color import expand_5bit_to_8bit, srgb_u8_to_lab
 from snesimage_tpu.ops.remap import entry_distances, quantize_target_u8
 
 
@@ -99,22 +99,31 @@ def remap_dithered(
     # Hoist the per-column subpalette gather out of the sequential loop:
     # one bulk gather (WS, H, S, 3) becomes a scan input that scan slices
     # per step — in-loop gathers were the scan's dominant cost on TPU.
+    # Perceptual mode also hoists the entries' CIELAB: the (C, S, 3)
+    # table converts ONCE and gathers per column, instead of a LUT +
+    # 3x3 matmul + cbrt on (H, S, 3) repeated inside every one of the
+    # ~W+H sequential steps (loop-invariant; the target's Lab still
+    # depends on the accumulated error and stays in-loop).
     sub_sk = entries8[tp_sk]  # (WS, H, S, 3)
+    sub_lab_sk = srgb_u8_to_lab(entries8)[tp_sk] if perceptual else sub_sk
     s_entries = entries8.shape[1]
 
     def step(err_win, xs):
         # err_win: (H, 3, 3) accumulated error for columns c, c+1, c+2.
-        orig_col, alpha_col, sub, x_col = xs
+        orig_col, alpha_col, sub, sub_lab, x_col = xs
         valid = x_col >= 0
         err_col = err_win[:, 0]
 
         target = orig_col + err_col
         t_u8 = quantize_target_u8(target)
-        d = entry_distances(t_u8, sub, perceptual)
+        d = entry_distances(
+            t_u8, sub, perceptual,
+            sub_entries_lab=sub_lab if perceptual else None,
+        )
         idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
         # one-hot select instead of a per-step take_along_axis gather
         onehot = (idx[:, None] == jnp.arange(s_entries)[None, :]).astype(
-            sub.dtype if sub.dtype != jnp.int32 else jnp.int32
+            sub.dtype
         )
         new_color = jnp.sum(sub * onehot[..., None], axis=-2)
 
@@ -145,7 +154,9 @@ def remap_dithered(
         return new_win, col_val
 
     err0 = jnp.zeros((h, 3, 3), dtype=jnp.float32)
-    _, map_cols = jax.lax.scan(step, err0, (orig_sk, alpha_sk, sub_sk, x_of))
+    _, map_cols = jax.lax.scan(
+        step, err0, (orig_sk, alpha_sk, sub_sk, sub_lab_sk, x_of)
+    )
     return unskew(jnp.moveaxis(map_cols, 0, 1), h, w)
 
 
@@ -154,16 +165,19 @@ def remap_dithered(
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas_dither(perceptual: bool) -> bool:
+def _use_pallas_dither(perceptual: bool = False) -> bool:
     """Both distance modes run the fused wavefront kernel on TPU; the
     perceptual variant computes CIELAB/CIEDE2000 in-kernel (see
     ops/pallas_dither.py — its polynomial sRGB decode differs from the
-    XLA scan's exact u8 LUT by <5e-6 relative, ~1e-3 in distance)."""
+    XLA scan's exact u8 LUT by <5e-6 relative, ~1e-3 in distance).
+    `perceptual` is accepted (and ignored) for caller uniformity — a
+    vestige of the red-mean-only kernel era kept so call sites read as
+    'does THIS config's dither run the kernel'."""
     import os
 
+    del perceptual
     if os.environ.get("SNESIMAGE_NO_PALLAS"):
         return False
-    del perceptual
     return jax.default_backend() == "tpu"
 
 
@@ -213,10 +227,10 @@ def dither_candidates(
 ) -> jax.Array:
     """Dithered palette maps for B candidate colors of slot (p, i).
 
-    Returns (B, H, W) int32. On TPU with red-mean distance this runs the
-    fused Pallas wavefront (ops/pallas_dither.py, ~40x less loop overhead
-    than lax.scan); otherwise it vmaps the XLA scan over per-candidate
-    palettes.
+    Returns (B, H, W) int32. On TPU this runs the fused Pallas wavefront
+    in BOTH distance modes (ops/pallas_dither.py — red-mean or in-kernel
+    CIELAB/CIEDE2000; ~40x less loop overhead than lax.scan); off-TPU it
+    vmaps the XLA scan over per-candidate palettes.
     """
     if _use_pallas_dither(perceptual):
         from snesimage_tpu.ops.color import expand_5bit_to_8bit as _exp

@@ -38,7 +38,15 @@ class KmeansResult(NamedTuple):
 def _assign(data: jax.Array, centers: jax.Array) -> jax.Array:
     """Nearest-center index per point, first-minimum wins. (N,) int32."""
     # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant over c.
-    dots = data @ centers.T  # (N, k) on the MXU
+    # precision=HIGHEST: the TPU default one-pass bf16 matmul (~6e-4
+    # relative) flips assignments near decision boundaries vs the f64
+    # oracle this module is validated against (tests/test_kmeans.py) —
+    # with coordinates up to 255 the dot terms are ~2e5, so bf16 error
+    # is O(100) squared-distance units. Same rule as every other MXU
+    # matmul in the repo.
+    dots = jnp.matmul(
+        data, centers.T, precision=jax.lax.Precision.HIGHEST
+    )  # (N, k) on the MXU
     c2 = jnp.sum(centers * centers, axis=-1)  # (k,)
     return jnp.argmin(c2[None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
 
@@ -92,7 +100,9 @@ def lloyd_kmeans(
     def update(centers: jax.Array) -> jax.Array:
         assign = _assign(data, centers)
         onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * maskf  # (N, k)
-        sums = onehot.T @ data  # (k, D)
+        sums = jnp.matmul(
+            onehot.T, data, precision=jax.lax.Precision.HIGHEST
+        )  # (k, D) — HIGHEST: see _assign
         counts = jnp.sum(onehot, axis=0)[:, None]  # (k, 1)
         means = sums / jnp.maximum(counts, 1.0)
         return jnp.where(counts > 0.0, means, centers)

@@ -94,7 +94,10 @@ def remap_undithered(
     tp_pix = jnp.repeat(jnp.repeat(tile_palettes, 8, axis=0), 8, axis=1)  # (H, W)
     sub = entries8[tp_pix]  # (H, W, S, 3)
     target_u8 = original_rgb.astype(jnp.int32)
-    d = entry_distances(target_u8, sub, perceptual)
+    # Perceptual: convert the (C, S, 3) entry table to Lab ONCE and
+    # gather, instead of converting the gathered (H, W, S, 3).
+    sub_lab = srgb_u8_to_lab(entries8)[tp_pix] if perceptual else None
+    d = entry_distances(target_u8, sub, perceptual, sub_entries_lab=sub_lab)
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
     return jnp.where(alpha > 0, idx, 0)
 

@@ -327,14 +327,11 @@ def fused_scale_feature_block(
                 tuple(ref_scales), frames_cmaj, pre_ds=pre_ds,
                 interpret=interpret,
             )  # (B, n, 3, 6)
-            n_px = jnp.asarray(sizes, jnp.float32)[None, :, None, None]
-            one = sums[..., 0:3] / n_px
-            m4 = sums[..., 3:6] / n_px
-            four = jnp.where(m4 > 0, jnp.where(m4 > 0, m4, 1.0) ** 0.25, 0.0)
-            block = jnp.concatenate([one, four], axis=-1)
-            full = jnp.zeros((b, NUM_SCALES, 3, 6), jnp.float32)
-            return jax.lax.dynamic_update_slice(
-                full, block, (0, start_scale, 0, 0)
+            # Shared postlude (n_px division, guarded fourth root,
+            # zero-padded placement) — one copy of the NaN-gradient
+            # double-where guard to maintain.
+            return finalize_feature_sums(
+                sums.reshape(b, -1, 6), sizes, start_scale
             )
     frames = jnp.moveaxis(frames_cmaj, 1, -1)
     return scale_features(
